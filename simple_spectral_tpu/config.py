@@ -1,0 +1,101 @@
+"""Runtime render configuration.
+
+Every compile-time ``#define`` of the reference (reference src/stdafx.hpp:39-124)
+becomes a runtime field here.  The dataclass is frozen & hashable so it can be
+passed as a static argument to ``jax.jit`` -- each distinct configuration
+compiles its own specialized XLA program, which recovers the reference's
+"compile-time specialization" in the XLA compilation model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Render modes (reference src/stdafx.hpp:63-93).
+MODE_RGB = "rgb"
+MODE_MALLETT = "mallett"  # RENDER_MODE_SPECTRAL_OURS
+MODE_MENG = "meng"  # RENDER_MODE_SPECTRAL_MENG
+MODE_JAKOB = "jakob"  # RENDER_MODE_SPECTRAL_JH
+SPECTRAL_MODES = (MODE_MALLETT, MODE_MENG, MODE_JAKOB)
+ALL_MODES = (MODE_RGB,) + SPECTRAL_MODES
+
+# Wavelength ranges per observer (reference src/stdafx.hpp:115-123).
+_LAMBDA_RANGE = {1931: (380.0, 780.0), 2006: (390.0, 830.0)}
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of a render.
+
+    Fields mirror the reference's two config tiers: compile-time #defines
+    (reference src/stdafx.hpp:39-124) and the CLI-parsed ``Renderer::Options``
+    (reference src/renderer.hpp:16-29).
+    """
+
+    # --- scene / image (Renderer::Options) ---
+    scene: str = "cornell"  # cornell | cornell-srgb | plane-srgb
+    width: int = 512
+    height: int = 512
+    spp: int = 64
+    indirect_only: bool = False
+
+    # --- color pipeline (stdafx.hpp:63-93) ---
+    mode: str = MODE_MALLETT
+    observer: int = 1931  # CIE_OBSERVER: 1931 (2 deg) | 2006 (10 deg)
+    n_wavelengths: int = 4  # SAMPLE_WAVELENGTHS, hero wavelength count
+
+    # --- integrator (stdafx.hpp:44-58) ---
+    els: bool = True  # EXPLICIT_LIGHT_SAMPLING
+    max_depth: int = 10  # MAX_DEPTH (includes shadow rays)
+    flat_field: bool = True  # FLAT_FIELD_CORRECTION
+    eps: float = 1e-3  # EPS
+
+    # --- TPU execution shape (new; no reference analog) ---
+    # Max path-state lanes resident per integrator step; the renderer tiles
+    # (pixels x spp) into chunks of at most this many lanes.
+    max_lanes: int = 1 << 21
+    # Texture used by cornell-srgb / plane-srgb.  The reference points at a
+    # 4096^2 texture missing from its own checkout (reference
+    # src/scene.cpp:292 and .MISSING_LARGE_BLOBS); the in-repo 512^2 texture
+    # is the reference's own fallback (reference src/scene.cpp:291).
+    texture: str = "crystal-lizard-512.png"
+
+    def __post_init__(self):
+        if self.mode not in ALL_MODES:
+            raise ValueError(f"unknown mode {self.mode!r}; valid: {ALL_MODES}")
+        if self.observer not in (1931, 2006):
+            raise ValueError("observer must be 1931 or 2006")
+        if self.n_wavelengths < 1:
+            raise ValueError("n_wavelengths must be >= 1")
+        if self.max_depth < 1:
+            raise ValueError("max_depth must be >= 1")
+        # The reference refuses non-"Ours" + CIE 2006 at compile time
+        # (src/stdafx.hpp:107-109).  We *support* it (documented extension):
+        # meng/jakob table coverage is clamped to their fitted range.
+
+    # --- derived quantities ---
+
+    @property
+    def spectral(self) -> bool:
+        return self.mode != MODE_RGB
+
+    @property
+    def lambda_min(self) -> float:
+        return _LAMBDA_RANGE[self.observer][0]
+
+    @property
+    def lambda_max(self) -> float:
+        return _LAMBDA_RANGE[self.observer][1]
+
+    @property
+    def lambda_step(self) -> float:
+        """Width of the band each hero wavelength covers (stdafx.hpp:289)."""
+        return (self.lambda_max - self.lambda_min) / float(self.n_wavelengths)
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.width, self.height)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

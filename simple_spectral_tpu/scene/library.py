@@ -1,0 +1,408 @@
+"""The three built-in scenes, as SoA device arrays.
+
+Re-implements the hard-coded scene builders of the reference
+(``Scene::get_new_cornell`` reference src/scene.cpp:32-287,
+``get_new_cornell_srgb`` src/scene.cpp:288-319, ``get_new_plane_srgb``
+src/scene.cpp:320-415) as data: a host-side build step producing a
+:class:`SceneData` pytree of flat arrays.
+
+Geometry convention matches the reference: a quad (v00, v10, v11, v01)
+becomes two triangles (v00, v10, v11) and (v00, v11, v01), both tagged with
+the owning quad's primitive id (reference src/geometry.hpp:82-104,
+src/geometry.cpp:128-139).
+
+Note the reference's camera uses the *scene's* hard-coded 512x512 resolution
+for the projection aspect even when the framebuffer resolution differs
+(``Scene::_init`` uses ``camera.res``, reference src/scene.cpp:16-24, while
+rendering maps pixels via ``framebuffer.res``, src/renderer.cpp:113-117); we
+replicate that.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from simple_spectral_tpu.config import RenderConfig
+from simple_spectral_tpu.scene.types import (
+    ALBEDO_CONSTANT,
+    ALBEDO_TEXTURE,
+    BSDF_LAMBERTIAN,
+    BSDF_MIRROR,
+    Camera,
+    MaterialTable,
+    SceneData,
+    make_camera,
+)
+from simple_spectral_tpu.spectra.colorimetry import ColorTables
+from simple_spectral_tpu.spectra.spectrum import Spectrum, load_spectral_csv, data_path
+
+SCENE_NAMES = ("cornell", "cornell-srgb", "plane-srgb")
+
+
+class _HostMaterial:
+    """Host-side material description gathered before packing."""
+
+    def __init__(
+        self,
+        bsdf: int = BSDF_LAMBERTIAN,
+        albedo_spec: Optional[Spectrum] = None,
+        albedo_rgb: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+        emission_spec: Optional[Spectrum] = None,
+        emission_rgb: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+        tex_id: int = -1,
+    ):
+        self.bsdf = bsdf
+        self.albedo_spec = albedo_spec
+        self.albedo_rgb = albedo_rgb
+        self.emission_spec = emission_spec
+        self.emission_rgb = emission_rgb
+        self.tex_id = tex_id
+
+    def is_emissive(self, spectral: bool) -> bool:
+        # reference src/material.cpp:100-106
+        if spectral:
+            return self.emission_spec is not None and self.emission_spec.integrate() > 0.0
+        return any(c > 0.0 for c in self.emission_rgb)
+
+
+class _Builder:
+    def __init__(self, cfg: RenderConfig, tables: ColorTables):
+        self.cfg = cfg
+        self.tables = tables
+        self.materials: List[_HostMaterial] = []
+        self.mat_names: dict = {}
+        self.quads: List[tuple] = []  # (mat_id, verts f64[4,3], sts f64[4,2])
+        self.texture: Optional[np.ndarray] = None
+
+    def add_material(self, name: str, mat: _HostMaterial) -> int:
+        mid = len(self.materials)
+        self.materials.append(mat)
+        self.mat_names[name] = mid
+        return mid
+
+    def add_quad(self, mat: int, v00, v10, v11, v01, st00=(0, 0), st10=(0, 0), st11=(0, 0), st01=(0, 0)):
+        verts = np.asarray([v00, v10, v11, v01], dtype=np.float64)
+        sts = np.asarray([st00, st10, st11, st01], dtype=np.float64)
+        self.quads.append((mat, verts, sts))
+
+    def const_spectrum(self, value: float) -> Spectrum:
+        """Constant spectrum over [LAMBDA_MIN, LAMBDA_MAX] (reference
+        src/spectrum.cpp:11-13)."""
+        return Spectrum.constant(value, self.cfg.lambda_min, self.cfg.lambda_max)
+
+    def load_texture(self) -> int:
+        """Load the scene texture (sRGB u8, scanlines top-to-bottom, as
+        lodepng returns; reference src/material.cpp:10-29).  Returns tex id."""
+        if self.texture is not None:
+            return 0
+        from PIL import Image
+
+        path = data_path("scenes", self.cfg.texture)
+        img = Image.open(path).convert("RGB")
+        self.texture = np.asarray(img, dtype=np.uint8)  # [H, W, 3], top-to-bottom
+        return 0
+
+    def finish(self, name: str) -> SceneData:
+        cfg = self.cfg
+        spectral = cfg.spectral
+        # --- pack materials ---
+        m = len(self.materials)
+        zero = self.const_spectrum(0.0)
+        alb_specs = [
+            (mat.albedo_spec if mat.albedo_spec is not None else self.const_spectrum(1.0))
+            for mat in self.materials
+        ]
+        emi_specs = [
+            (mat.emission_spec if mat.emission_spec is not None else zero)
+            for mat in self.materials
+        ]
+        ka = max(s.values.size for s in alb_specs)
+        ke = max(s.values.size for s in emi_specs)
+
+        def pack(specs, k):
+            # Zero padding beyond each spectrum's true sample count reproduces
+            # the reference's zero-outside-range semantics exactly (reference
+            # src/spectrum.cpp:39-60): any gather index at or past the true
+            # count lands on a zero, same as the reference's bounds check.
+            vals = np.zeros((m, k), dtype=np.float32)
+            low = np.zeros(m, dtype=np.float32)
+            inv_step = np.ones(m, dtype=np.float32)
+            for i, s in enumerate(specs):
+                vals[i, : s.values.size] = s.values
+                low[i] = s.low
+                inv_step[i] = 1.0 / s.step
+            return vals, low, inv_step
+
+        alb_vals, alb_low, alb_inv = pack(alb_specs, ka)
+        emi_vals, emi_low, emi_inv = pack(emi_specs, ke)
+
+        materials = MaterialTable(
+            bsdf_type=jnp.asarray([mat.bsdf for mat in self.materials], jnp.int32),
+            albedo_kind=jnp.asarray(
+                [ALBEDO_TEXTURE if mat.tex_id >= 0 else ALBEDO_CONSTANT for mat in self.materials],
+                jnp.int32,
+            ),
+            albedo_values=jnp.asarray(alb_vals),
+            albedo_low=jnp.asarray(alb_low),
+            albedo_inv_step=jnp.asarray(alb_inv),
+            emission_values=jnp.asarray(emi_vals),
+            emission_low=jnp.asarray(emi_low),
+            emission_inv_step=jnp.asarray(emi_inv),
+            albedo_rgb=jnp.asarray([mat.albedo_rgb for mat in self.materials], jnp.float32),
+            emission_rgb=jnp.asarray([mat.emission_rgb for mat in self.materials], jnp.float32),
+            tex_id=jnp.asarray([mat.tex_id for mat in self.materials], jnp.int32),
+            n_materials=m,
+        )
+
+        # --- pack geometry: quad -> 2 triangles, same prim id ---
+        tri_verts, tri_st, tri_mat, tri_prim = [], [], [], []
+        emissive = [mat.is_emissive(spectral) for mat in self.materials]
+        light_tris, light_prims = [], []
+        for prim_id, (mat_id, v, st) in enumerate(self.quads):
+            t0 = len(tri_verts)
+            # tri0 = (v00, v10, v11); tri1 = (v00, v11, v01)
+            tri_verts.append(v[[0, 1, 2]])
+            tri_st.append(st[[0, 1, 2]])
+            tri_verts.append(v[[0, 2, 3]])
+            tri_st.append(st[[0, 2, 3]])
+            tri_mat += [mat_id, mat_id]
+            tri_prim += [prim_id, prim_id]
+            if emissive[mat_id]:
+                light_tris.append((t0, t0 + 1))
+                light_prims.append(prim_id)
+        tv = np.asarray(tri_verts, dtype=np.float64)  # [T, 3, 3]
+        # flat normal = normalize(cross(v1-v0, v2-v0)) (reference src/geometry.hpp:68)
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+        assert light_prims, "scene must have at least one light (reference src/scene.cpp:30)"
+
+        camera = self._camera()
+        return SceneData(
+            tri_verts=jnp.asarray(tv, jnp.float32),
+            tri_st=jnp.asarray(np.asarray(tri_st), jnp.float32),
+            tri_normal=jnp.asarray(n, jnp.float32),
+            tri_prim=jnp.asarray(tri_prim, jnp.int32),
+            tri_mat=jnp.asarray(tri_mat, jnp.int32),
+            light_tris=jnp.asarray(light_tris, jnp.int32),
+            light_prims=jnp.asarray(light_prims, jnp.int32),
+            materials=materials,
+            camera=camera,
+            texture=(jnp.asarray(self.texture) if self.texture is not None else None),
+            n_tris=len(tri_mat),
+            n_prims=len(self.quads),
+            n_lights=len(light_prims),
+            name=name,
+            tex_res=(
+                (int(self.texture.shape[1]), int(self.texture.shape[0]))
+                if self.texture is not None
+                else (0, 0)
+            ),
+        )
+
+    def _camera(self) -> Camera:
+        raise NotImplementedError
+
+
+def _cornell_builder(cfg: RenderConfig, tables: ColorTables) -> _Builder:
+    b = _Builder(cfg, tables)
+    spectral = cfg.spectral
+
+    # Camera (reference src/scene.cpp:36-46); projection aspect uses the
+    # scene's hard-coded 512x512, not the framebuffer resolution.
+    def cam():
+        return make_camera(
+            pos=(278.0, 273.0, -800.0),
+            direction=(0.0, 0.0, 1.0),
+            up=(0.0, 1.0, 0.0),
+            res=(512, 512),
+            vfov_deg=39.0,
+            near=0.1,
+            far=1.0,
+        )
+
+    b._camera = cam
+
+    # Materials (reference src/scene.cpp:48-105).
+    if spectral:
+        wgr = load_spectral_csv("scenes/cornell/white-green-red.csv")
+        white = Spectrum(wgr[0], 400.0, 700.0)
+        green = Spectrum(wgr[1], 400.0, 700.0)
+        red = Spectrum(wgr[2], 400.0, 700.0)
+        light_cols = load_spectral_csv("scenes/cornell/light.csv")
+        light_emission = Spectrum(light_cols[0], 400.0, 700.0) * 200.0
+        b.add_material("white-back", _HostMaterial(albedo_spec=white))
+        b.add_material("white-blocks", _HostMaterial(albedo_spec=white))
+        b.add_material("white-floorceil", _HostMaterial(albedo_spec=white))
+        b.add_material("green", _HostMaterial(albedo_spec=green))
+        b.add_material("red", _HostMaterial(albedo_spec=red))
+        b.add_material(
+            "light",
+            _HostMaterial(albedo_spec=b.const_spectrum(0.78), emission_spec=light_emission),
+        )
+    else:
+        # RGB-mode constants (reference src/scene.cpp:68-82,99-103).
+        b.add_material("white-back", _HostMaterial(albedo_rgb=(1, 1, 1)))
+        b.add_material("white-blocks", _HostMaterial(albedo_rgb=(1, 1, 1)))
+        b.add_material("white-floorceil", _HostMaterial(albedo_rgb=(1, 1, 1)))
+        b.add_material("green", _HostMaterial(albedo_rgb=(0.07, 0.38, 0.07)))
+        b.add_material("red", _HostMaterial(albedo_rgb=(1, 0, 0)))
+        b.add_material(
+            "light",
+            _HostMaterial(albedo_rgb=(0.78, 0.78, 0.78), emission_rgb=(200.0, 200.0, 200.0)),
+        )
+
+    N = b.mat_names
+    # Floor (reference src/scene.cpp:108-114)
+    b.add_quad(
+        N["white-floorceil"],
+        (552.8, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 559.2), (549.6, 0.0, 559.2),
+        (1, 0), (0, 0), (0, 1), (1, 1),
+    )
+    # Ceiling with a hole for the light (reference src/scene.cpp:134-193).
+    A = (0.0, 548.8, 559.2)
+    B = (556.0, 548.8, 559.2)
+    C = (0.0, 548.8, 0.0)
+    D = (556.0, 548.8, 0.0)
+    E = (213.0, 548.8, 332.0)
+    F = (343.0, 548.8, 332.0)
+    G = (213.0, 548.8, 227.0)
+    H = (343.0, 548.8, 227.0)
+    b.add_quad(N["light"], H, F, E, G, (1, 0), (1, 1), (0, 1), (0, 0))
+    b.add_quad(N["white-floorceil"], D, B, F, H)
+    b.add_quad(N["white-floorceil"], B, A, E, F)
+    b.add_quad(N["white-floorceil"], A, C, G, E)
+    b.add_quad(N["white-floorceil"], C, D, H, G)
+    # Back wall (reference src/scene.cpp:196-201)
+    b.add_quad(
+        N["white-back"],
+        (549.6, 0.0, 559.2), (0.0, 0.0, 559.2), (0.0, 548.8, 559.2), (556.0, 548.8, 559.2),
+        (0, 0), (1, 0), (1, 1), (0, 1),
+    )
+    # Right wall, green (reference src/scene.cpp:204-209)
+    b.add_quad(
+        N["green"],
+        (0.0, 0.0, 559.2), (0.0, 0.0, 0.0), (0.0, 548.8, 0.0), (0.0, 548.8, 559.2),
+        (1, 0), (0, 0), (0, 1), (1, 1),
+    )
+    # Left wall, red (reference src/scene.cpp:212-217)
+    b.add_quad(
+        N["red"],
+        (552.8, 0.0, 0.0), (549.6, 0.0, 559.2), (556.0, 548.8, 559.2), (556.0, 548.8, 0.0),
+        (0, 0), (1, 0), (1, 1), (0, 1),
+    )
+    # Short block (reference src/scene.cpp:220-249)
+    W = N["white-blocks"]
+    b.add_quad(W, (130, 165, 65), (82, 165, 225), (240, 165, 272), (290, 165, 114))
+    b.add_quad(W, (290, 0, 114), (290, 165, 114), (240, 165, 272), (240, 0, 272))
+    b.add_quad(W, (130, 0, 65), (130, 165, 65), (290, 165, 114), (290, 0, 114))
+    b.add_quad(W, (82, 0, 225), (82, 165, 225), (130, 165, 65), (130, 0, 65))
+    b.add_quad(W, (240, 0, 272), (240, 165, 272), (82, 165, 225), (82, 0, 225))
+    # Tall block (reference src/scene.cpp:252-281)
+    b.add_quad(W, (423, 330, 247), (265, 330, 296), (314, 330, 456), (472, 330, 406))
+    b.add_quad(W, (423, 0, 247), (423, 330, 247), (472, 330, 406), (472, 0, 406))
+    b.add_quad(W, (472, 0, 406), (472, 330, 406), (314, 330, 456), (314, 0, 456))
+    b.add_quad(W, (314, 0, 456), (314, 330, 456), (265, 330, 296), (265, 0, 296))
+    b.add_quad(W, (265, 0, 296), (265, 330, 296), (423, 330, 247), (423, 0, 247))
+    return b
+
+
+def _cornell(cfg: RenderConfig, tables: ColorTables) -> SceneData:
+    return _cornell_builder(cfg, tables).finish("cornell")
+
+
+def _cornell_srgb(cfg: RenderConfig, tables: ColorTables) -> SceneData:
+    """Cornell variant: blocks/floor/ceiling -> plain white, red wall -> sRGB
+    texture, light -> D65 x 30 (reference src/scene.cpp:288-319)."""
+    b = _cornell_builder(cfg, tables)
+    spectral = cfg.spectral
+    tex = b.load_texture()
+    srgb_id = b.add_material("srgb", _HostMaterial(tex_id=tex))
+    if spectral:
+        white1_id = b.add_material("white1", _HostMaterial(albedo_spec=b.const_spectrum(1.0)))
+    else:
+        white1_id = b.add_material("white1", _HostMaterial(albedo_rgb=(1, 1, 1)))
+
+    remap = {
+        b.mat_names["white-blocks"]: white1_id,
+        b.mat_names["white-floorceil"]: white1_id,
+        b.mat_names["red"]: srgb_id,
+    }
+    b.quads = [(remap.get(mid, mid), v, st) for (mid, v, st) in b.quads]
+
+    lightsc = 30.0
+    light = b.materials[b.mat_names["light"]]
+    if spectral:
+        light.emission_spec = tables.host["d65_rad"] * lightsc
+    else:
+        light.emission_rgb = (lightsc, lightsc, lightsc)
+    return b.finish("cornell-srgb")
+
+
+def _plane_srgb(cfg: RenderConfig, tables: ColorTables) -> SceneData:
+    """Textured unit quad facing the camera inside a white D65 box
+    (reference src/scene.cpp:320-415, the paper's Fig. 1)."""
+    b = _Builder(cfg, tables)
+    spectral = cfg.spectral
+
+    cam_pos = np.array([0.0, 0.0, 5.0])
+    vfov = np.degrees(2.0 * np.arctan2(1.0, cam_pos[2]))
+
+    def cam():
+        return make_camera(
+            pos=cam_pos,
+            direction=-cam_pos / np.linalg.norm(cam_pos),
+            up=(0.0, 1.0, 0.0),
+            res=(512, 512),
+            vfov_deg=float(vfov),
+            near=0.1,
+            far=1.0,
+        )
+
+    b._camera = cam
+
+    if spectral:
+        light_id = b.add_material(
+            "light",
+            _HostMaterial(
+                albedo_spec=b.const_spectrum(0.0), emission_spec=tables.host["d65_rad"] * 1.0
+            ),
+        )
+    else:
+        light_id = b.add_material(
+            "light", _HostMaterial(albedo_rgb=(0, 0, 0), emission_rgb=(1, 1, 1))
+        )
+    tex = b.load_texture()
+    # With ELS the textured quad is Lambertian; without, a Mirror converges to
+    # the same image much faster (reference src/scene.cpp:346-362).
+    tex_bsdf = BSDF_LAMBERTIAN if cfg.els else BSDF_MIRROR
+    tex_id = b.add_material("tex", _HostMaterial(bsdf=tex_bsdf, tex_id=tex))
+
+    b.add_quad(
+        tex_id,
+        (-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0),
+        (0, 0), (1, 0), (1, 1), (0, 1),
+    )
+    s = 10.0
+    b.add_quad(light_id, (-s, -s, s), (-s, -s, -s), (-s, s, -s), (-s, s, s))
+    b.add_quad(light_id, (s, -s, -s), (s, -s, s), (s, s, s), (s, s, -s))
+    b.add_quad(light_id, (-s, -s, s), (s, -s, s), (s, -s, -s), (-s, -s, -s))
+    b.add_quad(light_id, (s, s, s), (-s, s, s), (-s, s, -s), (s, s, -s))
+    b.add_quad(light_id, (-s, -s, -s), (s, -s, -s), (s, s, -s), (-s, s, -s))
+    b.add_quad(light_id, (s, -s, s), (-s, -s, s), (-s, s, s), (s, s, s))
+    return b.finish("plane-srgb")
+
+
+def build_scene(cfg: RenderConfig, tables: ColorTables) -> SceneData:
+    """Build the scene named by ``cfg.scene`` (reference src/renderer.cpp:16-38)."""
+    if cfg.scene == "cornell":
+        return _cornell(cfg, tables)
+    if cfg.scene == "cornell-srgb":
+        return _cornell_srgb(cfg, tables)
+    if cfg.scene == "plane-srgb":
+        return _plane_srgb(cfg, tables)
+    raise ValueError(f"unrecognized scene {cfg.scene!r}; supported: {SCENE_NAMES}")

@@ -1,0 +1,215 @@
+"""Scene as structure-of-arrays device data.
+
+The reference scene is a pointer graph: Scene -> vector<PrimBase*> (virtual
+dispatch) -> MaterialBase* (virtual dispatch) (reference src/scene.hpp:36-41,
+src/geometry.hpp:26-104).  The TPU-native design flattens this into dense SoA
+arrays + integer ids: triangles carry a material id and an owning-primitive id
+(quads are two triangles, reference src/geometry.hpp:82-104); materials are a
+table indexed by id with branchless selection inside the kernel.
+
+Everything here is a registered pytree so the renderer can be differentiated
+w.r.t. the material leaves (albedo/emission spectra, albedo RGB, texture).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Material BSDF types (reference MaterialLambertian / MaterialMirror,
+# src/material.hpp:153-178).
+BSDF_LAMBERTIAN = 0
+BSDF_MIRROR = 1
+
+# Albedo source (reference MaterialSimpleAlbedoBase::MODE, src/material.hpp:119).
+ALBEDO_CONSTANT = 0
+ALBEDO_TEXTURE = 1
+
+
+def _pytree_dataclass(cls):
+    """Register a dataclass as a pytree; fields named in ``_static`` are aux."""
+    static = sorted(set(getattr(cls, "_static", ())))
+    fields = [f.name for f in dataclasses.fields(cls)]
+    dyn = [f for f in fields if f not in static]
+
+    def flatten(obj):
+        return (
+            tuple(getattr(obj, f) for f in dyn),
+            tuple(getattr(obj, f) for f in static),
+        )
+
+    def unflatten(aux, children):
+        kw = dict(zip(dyn, children))
+        kw.update(dict(zip(static, aux)))
+        return cls(**kw)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@dataclasses.dataclass
+class Camera:
+    """Pinhole camera.
+
+    Host init replicates glm::perspectiveFov + glm::lookAt + inverse in
+    float64 (reference src/scene.cpp:16-24), then factors the unprojection
+    into three world-space vectors so device ray generation is
+    ``normalize(axis_o + ndc_x * axis_x + ndc_y * axis_y)`` -- affine in NDC,
+    avoiding both the 4x4 matrix multiply and the reference's need for f64 on
+    device (reference src/renderer.cpp:124-132).
+    """
+
+    _static = ("res",)
+
+    pos: Any  # f32[3]
+    axis_o: Any  # f32[3]
+    axis_x: Any  # f32[3]
+    axis_y: Any  # f32[3]
+    forward: Any  # f32[3], for flat-field correction (renderer.cpp:262-266)
+    res: Tuple[int, int] = (512, 512)
+
+
+_pytree_dataclass(Camera)
+
+
+@dataclasses.dataclass
+class MaterialTable:
+    """Dense material table; the differentiable leaves of the renderer."""
+
+    _static = ("n_materials",)
+
+    bsdf_type: Any  # i32[M]: BSDF_LAMBERTIAN | BSDF_MIRROR
+    albedo_kind: Any  # i32[M]: ALBEDO_CONSTANT | ALBEDO_TEXTURE
+
+    # Constant spectral albedo, per material on its own uniform grid
+    # (padded to a common K; out-of-range samples are zero by construction).
+    albedo_values: Any  # f32[M, Ka]
+    albedo_low: Any  # f32[M]
+    albedo_inv_step: Any  # f32[M]
+
+    # Spectral emission.
+    emission_values: Any  # f32[M, Ke]
+    emission_low: Any  # f32[M]
+    emission_inv_step: Any  # f32[M]
+
+    # RGB-mode constants (reference compiles these instead; stdafx.hpp:180-186).
+    albedo_rgb: Any  # f32[M, 3]
+    emission_rgb: Any  # f32[M, 3]
+
+    tex_id: Any  # i32[M]; -1 = no texture
+
+    n_materials: int = 0
+
+
+_pytree_dataclass(MaterialTable)
+
+
+@dataclasses.dataclass
+class SceneData:
+    _static = ("n_tris", "n_prims", "n_lights", "name", "tex_res")
+
+    # Geometry (SoA over triangles; quads = 2 triangles re-tagged to one prim,
+    # reference src/geometry.cpp:128-139).
+    tri_verts: Any  # f32[T, 3, 3]
+    tri_st: Any  # f32[T, 3, 2]
+    tri_normal: Any  # f32[T, 3]
+    tri_prim: Any  # i32[T] owning primitive id (self-hit exclusion + NEE identity)
+    tri_mat: Any  # i32[T]
+
+    # Lights: per light primitive, its two triangle indices + its prim id
+    # (uniform-over-lights NEE; reference src/scene.cpp:417-431).
+    light_tris: Any  # i32[L, 2]
+    light_prims: Any  # i32[L]
+
+    materials: MaterialTable
+    camera: Camera
+
+    # Texture (at most one per scene in the reference; sRGB u8, scanlines
+    # top-to-bottom as stored by lodepng; reference src/material.cpp:10-29).
+    texture: Any = None  # u8[Ht, Wt, 3] or None
+
+    n_tris: int = 0
+    n_prims: int = 0
+    n_lights: int = 0
+    name: str = ""
+    tex_res: Tuple[int, int] = (0, 0)  # (W, H)
+
+
+_pytree_dataclass(SceneData)
+
+
+# --- host-side camera math (float64; init-time only) ---
+
+
+def perspective_fov(fovy_rad: float, width: float, height: float, z_near: float, z_far: float) -> np.ndarray:
+    """glm::perspectiveFov (RH, GL clip depth [-1,1]), row-major numpy."""
+    h = np.cos(0.5 * fovy_rad) / np.sin(0.5 * fovy_rad)
+    w = h * height / width
+    m = np.zeros((4, 4), dtype=np.float64)
+    m[0, 0] = w
+    m[1, 1] = h
+    m[2, 2] = -(z_far + z_near) / (z_far - z_near)
+    m[3, 2] = -1.0
+    m[2, 3] = -(2.0 * z_far * z_near) / (z_far - z_near)
+    return m
+
+
+def look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """glm::lookAt (RH), row-major numpy."""
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.eye(4, dtype=np.float64)
+    m[0, :3] = s
+    m[1, :3] = u
+    m[2, :3] = -f
+    m[0, 3] = -np.dot(s, eye)
+    m[1, 3] = -np.dot(u, eye)
+    m[2, 3] = np.dot(f, eye)
+    return m
+
+
+def make_camera(
+    pos, direction, up, res: Tuple[int, int], vfov_deg: float, near: float, far: float,
+    dtype=jnp.float32,
+) -> Camera:
+    """Build the device camera from the reference's parameters.
+
+    The reference unprojects NDC (x, y, 0, 1) through (P V)^-1 and normalizes
+    in double precision (reference src/renderer.cpp:127-132).  For a pinhole
+    P, the unprojected point is affine in (x, y) after the perspective divide
+    (w depends only on the fixed NDC z), so we factor:
+        point(x,y) = (c3 + x c0 + y c1) / w3,
+        dir(x,y)  ~ axis_o + x axis_x + y axis_y
+    with the factorization done on host in float64.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    direction = np.asarray(direction, dtype=np.float64)
+    up = np.asarray(up, dtype=np.float64)
+    p = perspective_fov(np.radians(vfov_deg), float(res[0]), float(res[1]), near, far)
+    v = look_at(pos, pos + direction, up)
+    pv_inv = np.linalg.inv(p @ v)
+    c0, c1, c3 = pv_inv[:, 0], pv_inv[:, 1], pv_inv[:, 3]
+    # w must not depend on x, y for the affine factorization to hold.
+    assert abs(c0[3]) < 1e-12 and abs(c1[3]) < 1e-12, "non-pinhole projection"
+    w3 = c3[3]
+    axis_o = c3[:3] / w3 - pos
+    axis_x = c0[:3] / w3
+    axis_y = c1[:3] / w3
+    # Pre-scale for f32 conditioning: |axis_o| ~ 1.
+    scale = 1.0 / np.linalg.norm(axis_o)
+    fwd = direction / np.linalg.norm(direction)
+    return Camera(
+        pos=jnp.asarray(pos, dtype),
+        axis_o=jnp.asarray(axis_o * scale, dtype),
+        axis_x=jnp.asarray(axis_x * scale, dtype),
+        axis_y=jnp.asarray(axis_y * scale, dtype),
+        forward=jnp.asarray(fwd, dtype),
+        res=(int(res[0]), int(res[1])),
+    )
