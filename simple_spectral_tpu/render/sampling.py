@@ -1,0 +1,199 @@
+"""Monte-Carlo samplers as pure, batch-vectorized functions.
+
+Counter-based threefry keys replace the reference's per-thread PCG-32 streams
+(reference src/util/random.{hpp,cpp}); bit-exact parity with the reference is
+impossible by construction, so equivalence is statistical (SURVEY.md
+section 4 "hard parts").  All samplers are grad-safe: every division that can
+hit 0/0 on degenerate inputs is masked with ``where`` *before* the division
+so no NaN enters either the primal or the cotangent computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PI = 3.14159265358979323846
+TWO_PI = 2.0 * PI
+# Largest float32 strictly below pi (reference src/util/spherical-tri.cpp:10-16).
+PI_UNDER = float(jnp.asarray(0x40490FDA, jnp.uint32).view(jnp.float32))
+
+
+def uniform(key, shape=()):
+    return jax.random.uniform(key, shape, dtype=jnp.float32)
+
+
+# --- orthonormal basis (reference src/util/math-helpers.hpp:14-38) ---
+
+
+def onb_from_y(basis_y):
+    """Branchless ONB from a unit vector treated as the +y axis (Duff et al.
+    / Pixar); returns (basis_x, basis_z).  basis_y: f32[...,3]."""
+    sign = jnp.where(basis_y[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + basis_y[..., 2])
+    b = basis_y[..., 0] * basis_y[..., 1] * a
+    basis_x = jnp.stack(
+        [
+            1.0 + sign * basis_y[..., 0] ** 2 * a,
+            sign * b,
+            -sign * basis_y[..., 0],
+        ],
+        axis=-1,
+    )
+    basis_z = jnp.stack(
+        [
+            b,
+            sign + basis_y[..., 1] ** 2 * a,
+            -basis_y[..., 1],
+        ],
+        axis=-1,
+    )
+    return basis_x, basis_z
+
+
+def rotated_to(dir_local, normal):
+    """Rotate a y-up local direction into the frame whose +y is ``normal``
+    (reference src/util/math-helpers.hpp:34-38)."""
+    bx, bz = onb_from_y(normal)
+    return (
+        dir_local[..., 0:1] * bx + dir_local[..., 1:2] * normal + dir_local[..., 2:3] * bz
+    )
+
+
+def reflect(vec, normal):
+    """reference src/util/math-helpers.hpp:40-42 (vec points *away* from the
+    surface, i.e. w_o)."""
+    return -vec + 2.0 * jnp.sum(vec * normal, axis=-1, keepdims=True) * normal
+
+
+# --- hemisphere sampling ---
+
+
+def rand_coshemi(key, shape, eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cosine-weighted hemisphere sample around +y, pdf = cos/pi.
+
+    The reference rejection-samples until pdf > EPS (src/util/random.cpp:29-49,
+    probability ~1e-6 per draw); a loop is hostile to SIMD lanes, so we clamp
+    the cosine away from zero instead -- the induced bias is below the f32
+    noise floor.  Returns (dir f32[...,3], pdf f32[...])."""
+    ka, kb = jax.random.split(key)
+    angle = uniform(ka, shape) * TWO_PI
+    radius_sq = uniform(kb, shape)
+    # clamp so y = sqrt(1-r^2) stays > EPS (the reference's rejection bound)
+    radius_sq = jnp.minimum(radius_sq, 1.0 - (eps * 1.01) ** 2)
+    radius = jnp.sqrt(radius_sq)
+    y = jnp.sqrt(1.0 - radius_sq)
+    d = jnp.stack([radius * jnp.cos(angle), y, radius * jnp.sin(angle)], axis=-1)
+    return d, y * (1.0 / PI)
+
+
+# --- spherical triangle (reference src/util/spherical-tri.{hpp,cpp}) ---
+
+
+class SphericalTriangle(NamedTuple):
+    A: jnp.ndarray  # f32[...,3] unit
+    B: jnp.ndarray
+    C: jnp.ndarray
+    cos_c: jnp.ndarray  # cos of side c = dot(A,B)
+    b: jnp.ndarray  # side b = angle(A,C)
+    cos_alpha: jnp.ndarray  # vertex angle at A
+    alpha: jnp.ndarray
+    area: jnp.ndarray  # spherical excess (0 when degenerate)
+    degenerate: jnp.ndarray  # bool[...]: numerically degenerate
+
+
+def spherical_triangle(A, B, C) -> SphericalTriangle:
+    """Build the spherical triangle quantities the Arvo sampler needs.
+
+    Follows reference src/util/spherical-tri.cpp:18-123 but collapses its
+    branch ladder: any configuration where a vertex-angle denominator is not
+    strictly positive is flagged ``degenerate`` with area = 0 (the reference
+    sets NaN angles / zero area in those branches; both make the sample's
+    pdf -> inf so the contribution is zero -- we keep the zero-area part and
+    mask instead of propagating NaN)."""
+    dot = lambda x, y: jnp.sum(x * y, axis=-1)
+    cos_a = jnp.clip(dot(B, C), -1.0, 1.0)
+    cos_b = jnp.clip(dot(A, C), -1.0, 1.0)
+    cos_c = jnp.clip(dot(A, B), -1.0, 1.0)
+    a = jnp.clip(jnp.arccos(cos_a), 0.0, PI_UNDER)
+    b = jnp.clip(jnp.arccos(cos_b), 0.0, PI_UNDER)
+    c = jnp.clip(jnp.arccos(cos_c), 0.0, PI_UNDER)
+    sin_a, sin_b, sin_c = jnp.sin(a), jnp.sin(b), jnp.sin(c)
+
+    numer0 = cos_a - cos_b * cos_c
+    numer1 = cos_b - cos_c * cos_a
+    numer2 = cos_c - cos_a * cos_b
+    denom0 = sin_b * sin_c
+    denom1 = sin_c * sin_a
+    denom2 = sin_a * sin_b
+
+    ok = (denom0 > 0.0) & (denom1 > 0.0) & (denom2 > 0.0)
+    safe = lambda n, d: jnp.clip(n / jnp.where(ok, d, 1.0), -1.0, 1.0)
+    cos_alpha = safe(numer0, denom0)
+    cos_beta = safe(numer1, denom1)
+    cos_gamma = safe(numer2, denom2)
+    alpha = jnp.clip(jnp.arccos(cos_alpha), 0.0, PI_UNDER)
+    beta = jnp.clip(jnp.arccos(cos_beta), 0.0, PI_UNDER)
+    gamma = jnp.clip(jnp.arccos(cos_gamma), 0.0, PI_UNDER)
+    area = jnp.maximum(alpha + beta + gamma - PI, 0.0)
+    area = jnp.where(ok, area, 0.0)
+
+    return SphericalTriangle(
+        A=A, B=B, C=C,
+        cos_c=cos_c, b=b,
+        cos_alpha=jnp.where(ok, cos_alpha, 1.0),
+        alpha=jnp.where(ok, alpha, 0.0),
+        area=area,
+        degenerate=~ok,
+    )
+
+
+def _bar(x, y):
+    """normalize(x - dot(x,y) y), or 0 when the projection vanishes
+    (reference src/util/random.cpp:137-142)."""
+    d = x - jnp.sum(x * y, axis=-1, keepdims=True) * y
+    lensq = jnp.sum(d * d, axis=-1, keepdims=True)
+    ok = lensq > 0.0
+    return jnp.where(ok, d * jax.lax.rsqrt(jnp.where(ok, lensq, 1.0)), 0.0)
+
+
+def rand_toward_spherical_triangle(key, tri: SphericalTriangle) -> jnp.ndarray:
+    """Arvo 1995 stratified spherical-triangle sample (reference
+    src/util/random.cpp:101-154).  Returns a unit direction f32[...,3]; the
+    pdf is 1/tri.area (handled by the caller, reference
+    src/geometry.cpp:103-116)."""
+    k0, k1 = jax.random.split(key)
+    r0 = uniform(k0, tri.area.shape)
+    r1 = uniform(k1, tri.area.shape)
+
+    sin_alpha = jnp.sin(tri.alpha)
+    # main path (sin_alpha > 0)
+    random_area = r0 * tri.area
+    phi = random_area - tri.alpha
+    s = jnp.sin(phi)
+    t = jnp.cos(phi)
+    u = t - tri.cos_alpha
+    v = s + sin_alpha * tri.cos_c
+    denom = (v * s + u * t) * sin_alpha
+    denom_ok = denom != 0.0
+    q_main = jnp.where(
+        denom_ok,
+        ((v * t - u * s) * tri.cos_alpha - v) / jnp.where(denom_ok, denom, 1.0),
+        tri.cos_c,
+    )
+    # degenerate-alpha path: interpolate the angle linearly (random.cpp:131-136)
+    q_degen = jnp.cos(tri.b * r0)
+    q = jnp.where(sin_alpha > 0.0, q_main, q_degen)
+    q = jnp.clip(q, -1.0, 1.0)
+
+    c_hat = q[..., None] * tri.A + jnp.sqrt(jnp.maximum(1.0 - q * q, 0.0))[..., None] * _bar(
+        tri.C, tri.A
+    )
+    z = 1.0 - r1 * (1.0 - jnp.sum(c_hat * tri.B, axis=-1))
+    z = jnp.clip(z, -1.0, 1.0)
+    result = z[..., None] * tri.B + jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))[..., None] * _bar(
+        c_hat, tri.B
+    )
+    return result

@@ -100,6 +100,37 @@ class ColorTables:
     host: Optional[dict] = dataclasses.field(default=None, compare=False)
 
 
+# Register ColorTables as a pytree so it can cross jit boundaries.  The
+# ``host`` dict is host-only (numpy / Spectrum objects) and intentionally
+# dropped on flatten: jitted code never touches it, and keeping it out of the
+# aux data keeps treedefs hashable.
+_CT_CHILDREN = (
+    "obs_values",
+    "d65_values",
+    "d65_rad_xyz",
+    "matr_lrgb_to_xyz",
+    "matr_xyz_to_lrgb",
+    "basis_values",
+)
+_CT_AUX = ("obs_low", "obs_inv_step", "d65_low", "d65_inv_step", "basis_low", "basis_inv_step")
+
+
+def _ct_flatten(t: "ColorTables"):
+    return (
+        tuple(getattr(t, f) for f in _CT_CHILDREN),
+        tuple(getattr(t, f) for f in _CT_AUX),
+    )
+
+
+def _ct_unflatten(aux, children):
+    kw = dict(zip(_CT_CHILDREN, children))
+    kw.update(dict(zip(_CT_AUX, aux)))
+    return ColorTables(host=None, **kw)
+
+
+jax.tree_util.register_pytree_node(ColorTables, _ct_flatten, _ct_unflatten)
+
+
 def build_color_tables(cfg: RenderConfig, dtype=jnp.float32) -> ColorTables:
     """Host-side table build; mirrors ``Color::init`` (reference
     src/util/color.cpp:72-155)."""
