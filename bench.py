@@ -45,7 +45,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # warmup / compile
-    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", "4"))
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", "1"))
     loss, grads = forward_backward_step(scene, tables, cfg, key, px, target, spp_chunk)
     jax.block_until_ready((loss, grads))
 

@@ -1,13 +1,15 @@
-"""Wavefront path-tracing integrator.
+"""Wavefront path-tracing integrator (SoA layout).
 
 The reference's recursive per-ray lambda ``L`` (reference
 src/renderer.cpp:147-255) is inverted into a flat array-of-lanes program: one
 lane = one (pixel, sample) pair carrying (origin, direction, throughput,
-accumulated radiance, aliveness).  A ``lax.scan`` over bounce depth runs the
-loop body -- intersect-all-triangles, masked emission add, next-event
-estimation, branchless BSDF sample -- on every lane simultaneously; dead
-lanes are masked rather than retired (cornell paths rarely terminate early
-since the reference has no russian roulette, so lane waste is small).
+accumulated radiance, aliveness) as lane vectors -- positions as V3 tuples of
+``f32[N]``, spectra as ``f32[S, N]`` (see render/vec.py for the layout rule).
+A ``lax.scan`` over bounce depth runs the loop body -- intersect-all-
+triangles, masked emission add, next-event estimation, branchless BSDF sample
+-- on every lane simultaneously; dead lanes are masked rather than retired
+(cornell paths rarely terminate early since the reference has no russian
+roulette, so lane waste is small).
 
 Differentiable: radiance is linear in the material emission tables and
 polynomial in the albedo tables; the discrete hit structure (which triangle,
@@ -17,37 +19,35 @@ this function yields the correct light-transport gradients.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from simple_spectral_tpu.config import RenderConfig
-from simple_spectral_tpu.render.intersect import intersect_rays
+from simple_spectral_tpu.render.intersect import intersect_rays_soa
 from simple_spectral_tpu.render.sampling import (
     rand_toward_spherical_triangle,
     spherical_triangle,
     uniform,
 )
 from simple_spectral_tpu.render.shading import (
-    evaluate_albedo,
-    evaluate_bsdf,
-    evaluate_emission,
-    interact_bsdf,
+    evaluate_bsdf_soa,
+    evaluate_emission_soa,
+    interact_bsdf_soa,
+    material_onehot,
+    select_column,
 )
+from simple_spectral_tpu.render.vec import V3, dot, normalize, splat
+from simple_spectral_tpu.render.vec import where as v3where
 from simple_spectral_tpu.scene.types import SceneData
 from simple_spectral_tpu.spectra.colorimetry import (
     ColorTables,
-    specradflux_to_ciexyz_hero,
+    specradflux_to_ciexyz_hero_soa,
 )
 
 
-def _normalize(v):
-    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-
-
-def camera_rays(scene: SceneData, cfg: RenderConfig, key, px_i, px_j):
+def camera_rays_soa(scene: SceneData, cfg: RenderConfig, key, px_i, px_j):
     """Primary rays through jittered subpixel positions.
 
     The reference unprojects NDC through (PV)^-1 in f64 on every sample
@@ -57,36 +57,53 @@ def camera_rays(scene: SceneData, cfg: RenderConfig, key, px_i, px_j):
     """
     cam = scene.camera
     n = px_i.shape[0]
-    sub = uniform(key, (n, 2))
-    res_x, res_y = cfg.width, cfg.height
-    ndc_x = (px_i.astype(jnp.float32) + sub[:, 0]) * (2.0 / res_x) - 1.0
-    ndc_y = (px_j.astype(jnp.float32) + sub[:, 1]) * (2.0 / res_y) - 1.0
-    d = cam.axis_o[None, :] + ndc_x[:, None] * cam.axis_x[None, :] + ndc_y[:, None] * cam.axis_y[None, :]
-    d = _normalize(d)
-    o = jnp.broadcast_to(cam.pos[None, :], (n, 3))
+    ka, kb = jax.random.split(key)
+    sub_x = uniform(ka, (n,))
+    sub_y = uniform(kb, (n,))
+    ndc_x = (px_i.astype(jnp.float32) + sub_x) * (2.0 / cfg.width) - 1.0
+    ndc_y = (px_j.astype(jnp.float32) + sub_y) * (2.0 / cfg.height) - 1.0
+    d = normalize(
+        V3(
+            cam.axis_o[0] + ndc_x * cam.axis_x[0] + ndc_y * cam.axis_y[0],
+            cam.axis_o[1] + ndc_x * cam.axis_x[1] + ndc_y * cam.axis_y[1],
+            cam.axis_o[2] + ndc_x * cam.axis_x[2] + ndc_y * cam.axis_y[2],
+        )
+    )
+    o = splat(cam.pos, ndc_x)
     return o, d
 
 
-def _sample_light_dir(key, scene: SceneData, from_pos):
+def _sample_light_dir(key, scene: SceneData, from_pos: V3):
     """Uniform-over-lights NEE direction sample (reference
     src/scene.cpp:417-431 + src/geometry.cpp:103-116,141-145).
 
-    Returns (dir f32[N,3], inv_pdf f32[N], light_prim i32[N]).  The inverse
+    Returns (dir V3[N], inv_pdf f32[N], light_prim i32[N]).  The inverse
     pdf (= solid_angle * 2 * n_lights) is returned instead of the pdf so the
     degenerate-triangle case (solid angle 0) contributes exactly 0 without
     NaN (the reference reaches the same value via pdf = inf)."""
-    n = from_pos.shape[0]
+    n = from_pos.x.shape[0]
     k_choice, k_tri, k_arvo = jax.random.split(key, 3)
     n_lights = scene.n_lights
     light_idx = jax.random.randint(k_choice, (n,), 0, n_lights)
-    light_prim = scene.light_prims[light_idx]
+    light_prim = select_column(scene.light_prims, light_idx, n_lights)
     # 50/50 triangle choice within the quad (reference src/geometry.cpp:141-145)
     pick = (uniform(k_tri, (n,)) > 0.5).astype(jnp.int32)
-    tri_idx = scene.light_tris[light_idx, pick]
-    verts = scene.tri_verts[tri_idx]  # f32[N,3,3]
-    a = _normalize(verts[:, 0] - from_pos)
-    b = _normalize(verts[:, 1] - from_pos)
-    c = _normalize(verts[:, 2] - from_pos)
+    flat_choice = light_idx * 2 + pick  # index into light_tris.reshape(-1)
+    # light triangle vertices, gathered once (tiny: [2L, 3, 3])
+    lt_verts = scene.tri_verts[scene.light_tris.reshape(-1)]
+
+    def vert(v):
+        comps = []
+        for a in range(3):
+            acc = jnp.broadcast_to(lt_verts[0, v, a], (n,))
+            for li in range(1, 2 * n_lights):
+                acc = jnp.where(flat_choice == li, lt_verts[li, v, a], acc)
+            comps.append(acc)
+        return V3(*comps)
+
+    a = normalize(vert(0) - from_pos)
+    b = normalize(vert(1) - from_pos)
+    c = normalize(vert(2) - from_pos)
     tri = spherical_triangle(a, b, c)
     d = rand_toward_spherical_triangle(k_arvo, tri)
     inv_pdf = tri.area * (2.0 * n_lights)
@@ -94,7 +111,7 @@ def _sample_light_dir(key, scene: SceneData, from_pos):
 
 
 class LaneResult(NamedTuple):
-    value: jnp.ndarray  # f32[N, S]: XYZ (spectral) or lRGB flux estimate
+    value: jnp.ndarray  # f32[N, 3]: XYZ (spectral) or lRGB flux estimate
     alpha: jnp.ndarray  # f32[N]: 1 where the camera ray hit anything
 
 
@@ -115,7 +132,7 @@ def trace_lanes(
     s_dim = cfg.n_wavelengths if cfg.spectral else 3
     k_cam, k_lam, k_scan = jax.random.split(key, 3)
 
-    ray_o, ray_d = camera_rays(scene, cfg, k_cam, px_i, px_j)
+    ray_o, ray_d = camera_rays_soa(scene, cfg, k_cam, px_i, px_j)
     cam_dir0 = ray_d  # kept for flat-field correction
 
     if cfg.spectral:
@@ -128,9 +145,10 @@ def trace_lanes(
         kd = jax.random.fold_in(k_scan, depth)
         k_nee, k_bsdf = jax.random.split(kd)
 
-        rec = intersect_rays(scene, o, d, ignore, cfg.eps)
+        rec = intersect_rays_soa(scene, o, d, ignore, cfg.eps)
         live_hit = alive & rec.hit
         camera_hit = camera_hit | (live_hit & (depth == 0))
+        oh = material_onehot(scene.materials.n_materials, rec.mat)
 
         # --- emission (reference src/renderer.cpp:167-175) ---
         if cfg.els:
@@ -140,46 +158,46 @@ def trace_lanes(
             emit_gate = live_hit
         if cfg.indirect_only:
             emit_gate = emit_gate & (depth > 0)
-        emitted = evaluate_emission(scene, tables, cfg, rec.mat, rec.st, lam0)
-        radiance = radiance + jnp.where(emit_gate[:, None], beta * emitted, 0.0)
+        emitted = evaluate_emission_soa(scene, tables, cfg, rec.mat, oh, lam0)
+        radiance = radiance + jnp.where(emit_gate[None, :], beta * emitted, 0.0)
 
         # --- the "if depth+1 < MAX_DEPTH" block (src/renderer.cpp:178-251) ---
         more = live_hit & (depth + 1 < cfg.max_depth)
         hit_dist = jnp.where(jnp.isfinite(rec.dist), rec.dist, 0.0)
-        hit_pos = o + hit_dist[:, None] * d
+        hit_pos = o + hit_dist * d
 
         # Next-event estimation (src/renderer.cpp:182-220)
         if cfg.els:
             shad_d, inv_pdf, light_prim = _sample_light_dir(k_nee, scene, hit_pos)
-            n_dot_l = jnp.sum(shad_d * rec.normal, axis=-1)
+            n_dot_l = dot(shad_d, rec.normal)
             nee_gate = more & (n_dot_l > 0.0)
             if cfg.indirect_only:
                 nee_gate = nee_gate & (depth > 0)
-            shad_rec = intersect_rays(scene, hit_pos, shad_d, rec.prim, cfg.eps)
-            unshadowed = shad_rec.prim == light_prim
-            nee_gate = nee_gate & unshadowed
-            light_emit = evaluate_emission(
-                scene, tables, cfg, shad_rec.mat, shad_rec.st, lam0
+            shad_rec = intersect_rays_soa(scene, hit_pos, shad_d, rec.prim, cfg.eps)
+            nee_gate = nee_gate & (shad_rec.prim == light_prim)
+            oh_shad = material_onehot(scene.materials.n_materials, shad_rec.mat)
+            light_emit = evaluate_emission_soa(scene, tables, cfg, shad_rec.mat, oh_shad, lam0)
+            f_s_nee = evaluate_bsdf_soa(
+                scene, tables, cfg, rec.mat, oh, rec.st_s, rec.st_t, lam0
             )
-            f_s_nee = evaluate_bsdf(scene, tables, cfg, rec.mat, rec.st, lam0)
-            contrib = light_emit * (n_dot_l * inv_pdf)[:, None] * f_s_nee
-            radiance = radiance + jnp.where(nee_gate[:, None], beta * contrib, 0.0)
+            contrib = light_emit * (n_dot_l * inv_pdf)[None, :] * f_s_nee
+            radiance = radiance + jnp.where(nee_gate[None, :], beta * contrib, 0.0)
 
         # BSDF sample + throughput update (src/renderer.cpp:222-250)
-        w_i, pdf, f_s, is_delta = interact_bsdf(
-            k_bsdf, scene, tables, cfg, rec.mat, rec.st, lam0, -d, rec.normal
+        w_i, pdf, f_s, is_delta = interact_bsdf_soa(
+            k_bsdf, scene, tables, cfg, rec.mat, oh, rec.st_s, rec.st_t, lam0, -d, rec.normal
         )
-        n_dot_l_b = jnp.sum(w_i * rec.normal, axis=-1)
+        n_dot_l_b = dot(w_i, rec.normal)
         # delta convention: n.l := 1, pdf := 1 (src/renderer.cpp:234-243)
         n_dot_l_b = jnp.where(is_delta, 1.0, n_dot_l_b)
         pdf = jnp.where(is_delta, 1.0, pdf)
-        f_nonzero = jnp.sum(f_s * f_s, axis=-1) > 0.0
+        f_nonzero = jnp.sum(f_s * f_s, axis=0) > 0.0
         cont = more & f_nonzero & (n_dot_l_b > 0.0)
         weight = jnp.where(cont, n_dot_l_b / jnp.where(pdf > 0.0, pdf, 1.0), 0.0)
-        beta = beta * jnp.where(cont[:, None], f_s * weight[:, None], 1.0)
+        beta = beta * jnp.where(cont[None, :], f_s * weight[None, :], 1.0)
 
-        o = jnp.where(cont[:, None], hit_pos, o)
-        d = jnp.where(cont[:, None], w_i, d)
+        o = v3where(cont, hit_pos, o)
+        d = v3where(cont, w_i, d)
         ignore = jnp.where(cont, rec.prim, ignore)
         alive = cont
         return (o, d, ignore, beta, radiance, alive, camera_hit), None
@@ -188,8 +206,8 @@ def trace_lanes(
         ray_o,
         ray_d,
         jnp.full((n,), -1, jnp.int32),
-        jnp.ones((n, s_dim), jnp.float32),
-        jnp.zeros((n, s_dim), jnp.float32),
+        jnp.ones((s_dim, n), jnp.float32),
+        jnp.zeros((s_dim, n), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
     )
@@ -203,13 +221,13 @@ def trace_lanes(
     if cfg.flat_field:
         flux = radiance
     else:
-        cosw = jnp.sum(cam_dir0 * scene.camera.forward[None, :], axis=-1)
-        flux = radiance * cosw[:, None]
+        cosw = dot(cam_dir0, splat(scene.camera.forward, cam_dir0.x))
+        flux = radiance * cosw[None, :]
 
     if cfg.spectral:
-        value = specradflux_to_ciexyz_hero(
+        value = specradflux_to_ciexyz_hero_soa(
             tables, flux, lam0, cfg.n_wavelengths, cfg.lambda_step
         )
     else:
         value = flux
-    return LaneResult(value=value, alpha=camera_hit.astype(jnp.float32))
+    return LaneResult(value=value.T, alpha=camera_hit.astype(jnp.float32))

@@ -1,13 +1,14 @@
-"""Vectorized watertight ray-triangle intersection.
+"""Vectorized watertight ray-triangle intersection, TPU layout.
 
 TPU-native re-design of ``PrimTri::intersect`` (reference
-src/geometry.cpp:12-101, the Woop/Benthin/Wald JCGT 2013 watertight test):
-instead of one ray against one triangle behind virtual dispatch, a flat batch
-of rays is tested against *all* triangles at once -- pure VPU element-wise
-work over an ``[N, T]`` grid, with the closest hit selected by a masked
-arg-min.  Quads are two triangles sharing a primitive id (reference
-src/geometry.cpp:128-139), so "re-tag the hit to the owning quad" is just a
-gather of ``tri_prim``.
+src/geometry.cpp:12-101, the Woop/Benthin/Wald JCGT 2013 watertight test).
+A flat batch of N rays tests against all T triangles at once as pure VPU
+element-wise work over ``[T, N]`` grids -- triangles on the sublane axis,
+rays on the 128-wide lane axis, so register tiles are fully utilized (an
+``[N, T, 3, 3]`` layout would pad its trailing dims 42x; see
+render/vec.py docstring).  The closest hit per ray is a masked min over the
+triangle axis; hit attributes come back through a one-hot masked reduction
+instead of gathers.
 
 Deviation from the reference, by design: the reference escalates to float64
 when any scaled barycentric is exactly 0 (src/geometry.cpp:57-68).  TPU f64
@@ -21,8 +22,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
+from simple_spectral_tpu.render.vec import V3, select3
 from simple_spectral_tpu.scene.types import SceneData
 
 INF = jnp.inf
@@ -30,39 +33,38 @@ INF = jnp.inf
 
 class HitRecord(NamedTuple):
     """SoA hit record for a batch of rays (reference HitRecord,
-    src/stdafx.hpp:222-233, flattened)."""
+    src/stdafx.hpp:222-233, flattened to lane vectors)."""
 
     hit: jnp.ndarray  # bool[N]
     dist: jnp.ndarray  # f32[N] (INF where miss)
     tri: jnp.ndarray  # i32[N] index of hit triangle (0 where miss)
     prim: jnp.ndarray  # i32[N] owning primitive id (-1 where miss)
     mat: jnp.ndarray  # i32[N] material id (0 where miss)
-    normal: jnp.ndarray  # f32[N,3] flat geometric normal
-    st: jnp.ndarray  # f32[N,2] interpolated texture coordinate
+    normal: V3  # f32[N] x3 flat geometric normal
+    st_s: jnp.ndarray  # f32[N] interpolated texture coordinate s
+    st_t: jnp.ndarray  # f32[N] interpolated texture coordinate t
 
 
-def _pick_axes(d):
+def _pick_axes(d: V3):
     """Watertight axis permutation: kz = argmax |d|, (kx, ky) cyclic, with
     kx/ky swapped when d[kz] < 0 to preserve winding (reference
-    src/geometry.cpp:16-31)."""
-    ad = jnp.abs(d)
-    # NOTE the reference's chain picks z on ties exactly like argmax-last;
-    # its logic is: kz = x if x>y and x>z else (y if y>z else z).
-    x_wins = (ad[..., 0] > ad[..., 1]) & (ad[..., 0] > ad[..., 2])
-    y_wins = (~x_wins) & (ad[..., 1] > ad[..., 2])
+    src/geometry.cpp:16-31).  All [N] int32."""
+    ax, ay, az = jnp.abs(d.x), jnp.abs(d.y), jnp.abs(d.z)
+    x_wins = (ax > ay) & (ax > az)
+    y_wins = (~x_wins) & (ay > az)
     kz = jnp.where(x_wins, 0, jnp.where(y_wins, 1, 2))
     kx = jnp.where(kz == 2, 0, kz + 1)
     ky = jnp.where(kx == 2, 0, kx + 1)
-    dz = jnp.take_along_axis(d, kz[..., None], axis=-1)[..., 0]
+    dz = select3(kz, d.x, d.y, d.z)
     neg = dz < 0.0
     kx, ky = jnp.where(neg, ky, kx), jnp.where(neg, kx, ky)
-    return kx, ky, kz
+    return kx, ky, kz, dz
 
 
-def intersect_rays(
+def intersect_rays_soa(
     scene: SceneData,
-    ray_orig: jnp.ndarray,  # f32[N,3]
-    ray_dir: jnp.ndarray,  # f32[N,3]
+    o: V3,  # ray origins, f32[N] x3
+    d: V3,  # ray directions, f32[N] x3
     ignore_prim: jnp.ndarray,  # i32[N]; -1 = ignore nothing
     eps: float,
 ) -> HitRecord:
@@ -71,34 +73,35 @@ def intersect_rays(
     Semantics: reference Scene::intersect (src/scene.cpp:433-445) over
     PrimQuad/PrimTri::intersect, with the `ignore` self-hit exclusion.
     """
-    kx, ky, kz = _pick_axes(ray_dir)  # i32[N] each
+    kx, ky, kz, dz = _pick_axes(d)
+    inv_dz = 1.0 / dz
+    sx = select3(kx, d.x, d.y, d.z) * inv_dz  # f32[N]
+    sy = select3(ky, d.x, d.y, d.z) * inv_dz
+    sz = inv_dz
 
-    def comp(v, k):
-        # v: f32[N, ..., 3]; k: i32[N] -> component k of the last axis.
-        kk = k.reshape(k.shape + (1,) * (v.ndim - k.ndim))
-        kk = jnp.broadcast_to(kk, v.shape[:-1] + (1,))
-        return jnp.take_along_axis(v, kk, axis=-1)[..., 0]
+    tv = scene.tri_verts  # f32[T, 3(vert), 3(axis)]
+    kxe, kye, kze = kx[None, :], ky[None, :], kz[None, :]
+    oxe, oye, oze = o.x[None, :], o.y[None, :], o.z[None, :]
 
-    dz = comp(ray_dir, kz)
-    sx = comp(ray_dir, kx) / dz
-    sy = comp(ray_dir, ky) / dz
-    sz = 1.0 / dz  # f32[N]
+    def sheared(vert):
+        # rel components of vertex `vert` along the permuted axes: f32[T, N]
+        rx = tv[:, vert, 0][:, None] - oxe
+        ry = tv[:, vert, 1][:, None] - oye
+        rz = tv[:, vert, 2][:, None] - oze
+        r_kx = select3(kxe, rx, ry, rz)
+        r_ky = select3(kye, rx, ry, rz)
+        r_kz = select3(kze, rx, ry, rz)
+        return r_kx - sx[None, :] * r_kz, r_ky - sy[None, :] * r_kz, r_kz
 
-    # Vertices relative to ray origin: f32[N, T, 3(vert), 3(axis)]
-    rel = scene.tri_verts[None, :, :, :] - ray_orig[:, None, None, :]
-    # Components along the permuted axes: f32[N, T, 3(vert)]
-    relx = comp(rel, kx)
-    rely = comp(rel, ky)
-    relz = comp(rel, kz)
+    ax_a, ay_a, az_a = sheared(0)
+    ax_b, ay_b, az_b = sheared(1)
+    ax_c, ay_c, az_c = sheared(2)
 
-    ax = relx - sx[:, None, None] * relz  # f32[N,T,3] = (Ax,Bx,Cx)
-    ay = rely - sy[:, None, None] * relz
-
-    # Scaled barycentrics: U = By*Cx - Bx*Cy etc. (cross(ABCy, ABCx);
-    # reference src/geometry.cpp:52-56).
-    u = ay[..., 1] * ax[..., 2] - ax[..., 1] * ay[..., 2]
-    v = ay[..., 2] * ax[..., 0] - ax[..., 2] * ay[..., 0]
-    w = ay[..., 0] * ax[..., 1] - ax[..., 0] * ay[..., 1]
+    # Scaled barycentrics U,V,W = cross((Ay,By,Cy), (Ax,Bx,Cx)) (reference
+    # src/geometry.cpp:52-56); all f32[T, N].
+    u = ay_b * ax_c - ax_b * ay_c
+    v = ay_c * ax_a - ax_c * ay_a
+    w = ay_a * ax_b - ax_a * ay_b
 
     # Edge test, zero-inclusive (see module docstring re f64 fallback).
     inside = ((u >= 0.0) & (v >= 0.0) & (w >= 0.0)) | ((u <= 0.0) & (v <= 0.0) & (w <= 0.0))
@@ -106,39 +109,64 @@ def intersect_rays(
     det = u + v + w
     ok_det = jnp.abs(det) > eps  # reference src/geometry.cpp:71-73
 
-    t_scaled = sz[:, None] * (
-        u * relz[..., 0] + v * relz[..., 1] + w * relz[..., 2]
-    )
+    t_scaled = sz[None, :] * (u * az_a + v * az_b + w * az_c)
     # Sign of T must match sign of det (reference src/geometry.cpp:79-84).
     same_sign = jnp.signbit(det) == jnp.signbit(t_scaled)
 
     dist = t_scaled / det
-    not_ignored = scene.tri_prim[None, :] != ignore_prim[:, None]
+    not_ignored = scene.tri_prim[:, None] != ignore_prim[None, :]
     valid = inside & ok_det & same_sign & (dist >= eps) & not_ignored
     dist = jnp.where(valid, dist, INF)
 
     # Closest hit (reference keeps the min via `dist<hitrec->dist`,
-    # src/geometry.cpp:88).
-    best = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # i32[N]
-    best_dist = jnp.take_along_axis(dist, best[:, None], axis=-1)[:, 0]
+    # src/geometry.cpp:88): masked min + one-hot attribute reduction.
+    best_dist = jnp.min(dist, axis=0)  # f32[N]
     hit = jnp.isfinite(best_dist)
+    n_tris = tv.shape[0]
+    best = jnp.argmin(dist, axis=0).astype(jnp.int32)  # i32[N]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tris, 1), 0)
+    oh = iota_t == best[None, :]  # bool[T, N], exactly one True per lane
 
-    take = lambda a: a[best]  # gather per-ray triangle attributes
-    prim = jnp.where(hit, take(scene.tri_prim), -1)
-    mat = jnp.where(hit, take(scene.tri_mat), 0)
-    normal = take(scene.tri_normal)
+    def pick_f(col):  # f32[T] -> f32[N] via masked sum
+        return jnp.sum(jnp.where(oh, col[:, None], 0.0), axis=0)
 
-    # Barycentric ST interpolation (reference src/geometry.cpp:91-93).
-    bu = jnp.take_along_axis(u, best[:, None], axis=-1)[:, 0]
-    bv = jnp.take_along_axis(v, best[:, None], axis=-1)[:, 0]
-    bw = jnp.take_along_axis(w, best[:, None], axis=-1)[:, 0]
-    bdet = bu + bv + bw
-    inv_det = jnp.where(bdet != 0.0, 1.0 / bdet, 0.0)
-    sts = take(scene.tri_st)  # f32[N,3,2]
-    st = (
-        (bu * inv_det)[:, None] * sts[:, 0]
-        + (bv * inv_det)[:, None] * sts[:, 1]
-        + (bw * inv_det)[:, None] * sts[:, 2]
+    def pick_i(col):  # i32[T] -> i32[N] via masked max (cols are >= -1)
+        return jnp.max(jnp.where(oh, col[:, None], -1), axis=0)
+
+    prim = jnp.where(hit, pick_i(scene.tri_prim), -1)
+    mat = jnp.where(hit, pick_i(scene.tri_mat), 0)
+    normal = V3(
+        pick_f(scene.tri_normal[:, 0]),
+        pick_f(scene.tri_normal[:, 1]),
+        pick_f(scene.tri_normal[:, 2]),
     )
 
-    return HitRecord(hit=hit, dist=best_dist, tri=best, prim=prim, mat=mat, normal=normal, st=st)
+    # Barycentric ST interpolation (reference src/geometry.cpp:91-93).
+    def pick2(arr):  # f32[T, N] -> f32[N] at the best triangle
+        return jnp.sum(jnp.where(oh, arr, 0.0), axis=0)
+
+    bu, bv, bw = pick2(u), pick2(v), pick2(w)
+    bdet = bu + bv + bw
+    inv_det = jnp.where(bdet != 0.0, 1.0 / jnp.where(bdet != 0.0, bdet, 1.0), 0.0)
+    st = scene.tri_st  # f32[T, 3, 2]
+    st_s = (
+        bu * pick_f(st[:, 0, 0]) + bv * pick_f(st[:, 1, 0]) + bw * pick_f(st[:, 2, 0])
+    ) * inv_det
+    st_t = (
+        bu * pick_f(st[:, 0, 1]) + bv * pick_f(st[:, 1, 1]) + bw * pick_f(st[:, 2, 1])
+    ) * inv_det
+
+    return HitRecord(
+        hit=hit, dist=best_dist, tri=best, prim=prim, mat=mat,
+        normal=normal, st_s=st_s, st_t=st_t,
+    )
+
+
+def intersect_rays(scene, ray_orig, ray_dir, ignore_prim, eps: float):
+    """Row-vector convenience wrapper: f32[N,3] origins/dirs in, HitRecord
+    out (normal as V3).  Prefer intersect_rays_soa in hot code."""
+    from simple_spectral_tpu.render.vec import v3_from_rows
+
+    return intersect_rays_soa(
+        scene, v3_from_rows(ray_orig), v3_from_rows(ray_dir), ignore_prim, eps
+    )

@@ -1,11 +1,12 @@
-"""Monte-Carlo samplers as pure, batch-vectorized functions.
+"""Monte-Carlo samplers as pure, batch-vectorized functions (SoA layout).
 
 Counter-based threefry keys replace the reference's per-thread PCG-32 streams
 (reference src/util/random.{hpp,cpp}); bit-exact parity with the reference is
 impossible by construction, so equivalence is statistical (SURVEY.md
 section 4 "hard parts").  All samplers are grad-safe: every division that can
 hit 0/0 on degenerate inputs is masked with ``where`` *before* the division
-so no NaN enters either the primal or the cotangent computation.
+so no NaN enters either the primal or the cotangent computation.  Vectors
+are V3 lane tuples (see render/vec.py for the layout rationale).
 """
 
 from __future__ import annotations
@@ -14,6 +15,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from simple_spectral_tpu.render.vec import V3, cross, dot, normalize
 
 PI = 3.14159265358979323846
 TWO_PI = 2.0 * PI
@@ -28,56 +31,45 @@ def uniform(key, shape=()):
 # --- orthonormal basis (reference src/util/math-helpers.hpp:14-38) ---
 
 
-def onb_from_y(basis_y):
+def onb_from_y(basis_y: V3) -> Tuple[V3, V3]:
     """Branchless ONB from a unit vector treated as the +y axis (Duff et al.
-    / Pixar); returns (basis_x, basis_z).  basis_y: f32[...,3]."""
-    sign = jnp.where(basis_y[..., 2] >= 0.0, 1.0, -1.0)
-    a = -1.0 / (sign + basis_y[..., 2])
-    b = basis_y[..., 0] * basis_y[..., 1] * a
-    basis_x = jnp.stack(
-        [
-            1.0 + sign * basis_y[..., 0] ** 2 * a,
-            sign * b,
-            -sign * basis_y[..., 0],
-        ],
-        axis=-1,
-    )
-    basis_z = jnp.stack(
-        [
-            b,
-            sign + basis_y[..., 1] ** 2 * a,
-            -basis_y[..., 1],
-        ],
-        axis=-1,
-    )
+    / Pixar); returns (basis_x, basis_z)."""
+    sign = jnp.where(basis_y.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + basis_y.z)
+    b = basis_y.x * basis_y.y * a
+    basis_x = V3(1.0 + sign * basis_y.x * basis_y.x * a, sign * b, -sign * basis_y.x)
+    basis_z = V3(b, sign + basis_y.y * basis_y.y * a, -basis_y.y)
     return basis_x, basis_z
 
 
-def rotated_to(dir_local, normal):
+def rotated_to(dir_local: V3, normal: V3) -> V3:
     """Rotate a y-up local direction into the frame whose +y is ``normal``
     (reference src/util/math-helpers.hpp:34-38)."""
     bx, bz = onb_from_y(normal)
-    return (
-        dir_local[..., 0:1] * bx + dir_local[..., 1:2] * normal + dir_local[..., 2:3] * bz
+    return V3(
+        dir_local.x * bx.x + dir_local.y * normal.x + dir_local.z * bz.x,
+        dir_local.x * bx.y + dir_local.y * normal.y + dir_local.z * bz.y,
+        dir_local.x * bx.z + dir_local.y * normal.z + dir_local.z * bz.z,
     )
 
 
-def reflect(vec, normal):
+def reflect(vec: V3, normal: V3) -> V3:
     """reference src/util/math-helpers.hpp:40-42 (vec points *away* from the
     surface, i.e. w_o)."""
-    return -vec + 2.0 * jnp.sum(vec * normal, axis=-1, keepdims=True) * normal
+    s = 2.0 * dot(vec, normal)
+    return V3(s * normal.x - vec.x, s * normal.y - vec.y, s * normal.z - vec.z)
 
 
 # --- hemisphere sampling ---
 
 
-def rand_coshemi(key, shape, eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rand_coshemi(key, shape, eps: float) -> Tuple[V3, jnp.ndarray]:
     """Cosine-weighted hemisphere sample around +y, pdf = cos/pi.
 
     The reference rejection-samples until pdf > EPS (src/util/random.cpp:29-49,
     probability ~1e-6 per draw); a loop is hostile to SIMD lanes, so we clamp
     the cosine away from zero instead -- the induced bias is below the f32
-    noise floor.  Returns (dir f32[...,3], pdf f32[...])."""
+    noise floor.  Returns (dir V3[...], pdf f32[...])."""
     ka, kb = jax.random.split(key)
     angle = uniform(ka, shape) * TWO_PI
     radius_sq = uniform(kb, shape)
@@ -85,7 +77,7 @@ def rand_coshemi(key, shape, eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     radius_sq = jnp.minimum(radius_sq, 1.0 - (eps * 1.01) ** 2)
     radius = jnp.sqrt(radius_sq)
     y = jnp.sqrt(1.0 - radius_sq)
-    d = jnp.stack([radius * jnp.cos(angle), y, radius * jnp.sin(angle)], axis=-1)
+    d = V3(radius * jnp.cos(angle), y, radius * jnp.sin(angle))
     return d, y * (1.0 / PI)
 
 
@@ -93,9 +85,9 @@ def rand_coshemi(key, shape, eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 class SphericalTriangle(NamedTuple):
-    A: jnp.ndarray  # f32[...,3] unit
-    B: jnp.ndarray
-    C: jnp.ndarray
+    A: V3  # unit vectors
+    B: V3
+    C: V3
     cos_c: jnp.ndarray  # cos of side c = dot(A,B)
     b: jnp.ndarray  # side b = angle(A,C)
     cos_alpha: jnp.ndarray  # vertex angle at A
@@ -104,7 +96,7 @@ class SphericalTriangle(NamedTuple):
     degenerate: jnp.ndarray  # bool[...]: numerically degenerate
 
 
-def spherical_triangle(A, B, C) -> SphericalTriangle:
+def spherical_triangle(A: V3, B: V3, C: V3) -> SphericalTriangle:
     """Build the spherical triangle quantities the Arvo sampler needs.
 
     Follows reference src/util/spherical-tri.cpp:18-123 but collapses its
@@ -113,7 +105,6 @@ def spherical_triangle(A, B, C) -> SphericalTriangle:
     sets NaN angles / zero area in those branches; both make the sample's
     pdf -> inf so the contribution is zero -- we keep the zero-area part and
     mask instead of propagating NaN)."""
-    dot = lambda x, y: jnp.sum(x * y, axis=-1)
     cos_a = jnp.clip(dot(B, C), -1.0, 1.0)
     cos_b = jnp.clip(dot(A, C), -1.0, 1.0)
     cos_c = jnp.clip(dot(A, B), -1.0, 1.0)
@@ -150,18 +141,20 @@ def spherical_triangle(A, B, C) -> SphericalTriangle:
     )
 
 
-def _bar(x, y):
+def _bar(x: V3, y: V3) -> V3:
     """normalize(x - dot(x,y) y), or 0 when the projection vanishes
     (reference src/util/random.cpp:137-142)."""
-    d = x - jnp.sum(x * y, axis=-1, keepdims=True) * y
-    lensq = jnp.sum(d * d, axis=-1, keepdims=True)
+    s = dot(x, y)
+    d = V3(x.x - s * y.x, x.y - s * y.y, x.z - s * y.z)
+    lensq = dot(d, d)
     ok = lensq > 0.0
-    return jnp.where(ok, d * jax.lax.rsqrt(jnp.where(ok, lensq, 1.0)), 0.0)
+    r = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, lensq, 1.0)), 0.0)
+    return V3(d.x * r, d.y * r, d.z * r)
 
 
-def rand_toward_spherical_triangle(key, tri: SphericalTriangle) -> jnp.ndarray:
+def rand_toward_spherical_triangle(key, tri: SphericalTriangle) -> V3:
     """Arvo 1995 stratified spherical-triangle sample (reference
-    src/util/random.cpp:101-154).  Returns a unit direction f32[...,3]; the
+    src/util/random.cpp:101-154).  Returns a unit direction V3[...]; the
     pdf is 1/tri.area (handled by the caller, reference
     src/geometry.cpp:103-116)."""
     k0, k1 = jax.random.split(key)
@@ -188,12 +181,19 @@ def rand_toward_spherical_triangle(key, tri: SphericalTriangle) -> jnp.ndarray:
     q = jnp.where(sin_alpha > 0.0, q_main, q_degen)
     q = jnp.clip(q, -1.0, 1.0)
 
-    c_hat = q[..., None] * tri.A + jnp.sqrt(jnp.maximum(1.0 - q * q, 0.0))[..., None] * _bar(
-        tri.C, tri.A
+    bar_ca = _bar(tri.C, tri.A)
+    sq = jnp.sqrt(jnp.maximum(1.0 - q * q, 0.0))
+    c_hat = V3(
+        q * tri.A.x + sq * bar_ca.x,
+        q * tri.A.y + sq * bar_ca.y,
+        q * tri.A.z + sq * bar_ca.z,
     )
-    z = 1.0 - r1 * (1.0 - jnp.sum(c_hat * tri.B, axis=-1))
+    z = 1.0 - r1 * (1.0 - dot(c_hat, tri.B))
     z = jnp.clip(z, -1.0, 1.0)
-    result = z[..., None] * tri.B + jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))[..., None] * _bar(
-        c_hat, tri.B
+    bar_cb = _bar(c_hat, tri.B)
+    sz = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return V3(
+        z * tri.B.x + sz * bar_cb.x,
+        z * tri.B.y + sz * bar_cb.y,
+        z * tri.B.z + sz * bar_cb.z,
     )
-    return result

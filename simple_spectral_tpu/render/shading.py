@@ -1,128 +1,180 @@
-"""Branchless material shading over a flat batch of hits.
+"""Branchless material shading over a flat batch of hits (SoA layout).
 
 The reference dispatches virtually over ``MaterialBase*`` (reference
-src/material.cpp); here materials are rows of a dense table and every lane
-evaluates all variants cheaply with ``where``-selects -- the TPU-native
-equivalent of the tagged union (reference src/material.hpp:117-150).
+src/material.cpp); here materials are rows of a dense table.  Per-lane
+spectra are ``f32[S, N]`` -- hero-wavelength samples on the sublane axis,
+lanes on the 128-wide vector axis (see render/vec.py for the layout rule).
 
-``S`` is the per-lane radiance vector width: ``cfg.n_wavelengths`` hero
-samples in spectral modes, 3 (lRGB) in rgb mode.
+Table sampling strategy: a per-lane linear-interp gather from a per-material
+spectrum table is expressed as a *hat-function contraction*
+``v[s,n] = sum_k row[k,n] * max(0, 1-|x[s,n]-k|)``, which is exactly linear
+reconstruction with the reference's zero-outside-range semantics (reference
+src/spectrum.cpp:39-60) but runs as fused multiply-reduce on the VPU instead
+of per-lane gathers.  Row selection over the (tiny) material axis is a
+one-hot matmul.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from simple_spectral_tpu.config import (
     MODE_JAKOB,
     MODE_MALLETT,
     MODE_MENG,
-    MODE_RGB,
     RenderConfig,
 )
+from simple_spectral_tpu.render.vec import V3
 from simple_spectral_tpu.scene.types import ALBEDO_TEXTURE, BSDF_MIRROR, SceneData
-from simple_spectral_tpu.spectra.colorimetry import ColorTables, srgb_to_lrgb
-from simple_spectral_tpu.spectra.spectrum import sample_hero_batched
-from simple_spectral_tpu.spectra.upsample_mallett import lrgb_to_specrefl_mallett
+from simple_spectral_tpu.spectra.colorimetry import ColorTables
 
 PI = 3.14159265358979323846
+_HI = jax.lax.Precision.HIGHEST  # color math must not drop to bf16
 
 
-def lrgb_to_specrefl(tables: ColorTables, cfg: RenderConfig, lrgb, lam0):
+def material_onehot(n_materials: int, mat):
+    """i32[N] -> f32[M, N] one-hot."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_materials, 1), 0)
+    return (iota == mat[None, :]).astype(jnp.float32)
+
+
+def select_column(column, mat, n_materials: int):
+    """f32[M] gathered at i32[N] -> f32[N], as a static where-chain (M is
+    tiny and static, so this is M selects, no gather)."""
+    out = jnp.full(mat.shape, column[0])
+    for m in range(1, n_materials):
+        out = jnp.where(mat == m, column[m], out)
+    return out
+
+
+from simple_spectral_tpu.spectra.spectrum import hat_weights, hero_lams_soa as hero_lams
+
+
+def sample_rows_hero(rows, low, inv_step, lam0, n_wavelengths: int, lambda_step: float):
+    """rows: f32[K, N] per-lane spectrum; low/inv_step: f32[N] -> f32[S, N]."""
+    lams = hero_lams(lam0, n_wavelengths, lambda_step)  # [S, N]
+    x = (lams - low[None, :]) * inv_step[None, :]
+    w = hat_weights(x, rows.shape[0])  # [K, S, N]
+    return jnp.sum(rows[:, None, :] * w, axis=0)
+
+
+def material_rows(values, oh):
+    """values: f32[M, K]; oh: f32[M, N] -> per-lane rows f32[K, N]."""
+    return jnp.einsum("mk,mn->kn", values, oh, precision=_HI)
+
+
+def evaluate_emission_soa(scene: SceneData, tables, cfg: RenderConfig, mat, oh, lam0):
+    """Emitted radiance sample, direction-independent (reference
+    src/material.hpp:101-108).  -> f32[S, N]."""
+    m = scene.materials
+    if cfg.spectral:
+        rows = material_rows(m.emission_values, oh)
+        low_n = select_column(m.emission_low, mat, m.n_materials)
+        inv_n = select_column(m.emission_inv_step, mat, m.n_materials)
+        return sample_rows_hero(rows, low_n, inv_n, lam0, cfg.n_wavelengths, cfg.lambda_step)
+    return jnp.einsum("mc,mn->cn", m.emission_rgb, oh, precision=_HI)
+
+
+def sample_texture_lrgb(scene: SceneData, st_s, st_t):
+    """Clamped nearest-neighbor sRGB texture fetch -> lRGB (reference
+    src/material.cpp:66-97: ST -> UV -> index with vertical flip).
+    Returns (r, g, b) f32[N] in *linear* RGB."""
+    from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb
+
+    tex = scene.texture  # u8[H, W, 3], scanlines top-to-bottom
+    h, w = tex.shape[0], tex.shape[1]
+    i = jnp.clip(jnp.floor(st_s * w).astype(jnp.int32), 0, w - 1)
+    j = jnp.clip(jnp.floor(h - st_t * h).astype(jnp.int32), 0, h - 1)
+    flat = j * w + i
+    texf = tex.reshape(-1, 3)
+    out = []
+    for c in range(3):
+        srgb = jnp.take(texf[:, c], flat, axis=0).astype(jnp.float32) * (1.0 / 255.0)
+        out.append(srgb_to_lrgb(srgb))
+    return out[0], out[1], out[2]
+
+
+def lrgb_to_specrefl_soa(tables: ColorTables, cfg: RenderConfig, r, g, b, lam0):
     """Mode dispatch of the paper's central operation: lRGB -> hero-sampled
-    reflectance (reference src/util/color.cpp:166-235)."""
+    reflectance f32[S, N] (reference src/util/color.cpp:166-235)."""
     if cfg.mode == MODE_MALLETT:
-        return lrgb_to_specrefl_mallett(tables, lrgb, lam0, cfg.n_wavelengths, cfg.lambda_step)
+        # basisdot[k, n] = sum_c basis[c, k] * rgb_c[n]; then hat-contract.
+        rgb = jnp.stack([r, g, b])  # [3, N]
+        basisdot = jnp.einsum("ck,cn->kn", tables.basis_values, rgb, precision=_HI)
+        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
+        x = (lams - tables.basis_low) * tables.basis_inv_step
+        w = hat_weights(x, basisdot.shape[0])  # [K, S, N]
+        return jnp.sum(basisdot[:, None, :] * w, axis=0)
     if cfg.mode == MODE_MENG:
-        from simple_spectral_tpu.spectra.upsample_meng import lrgb_to_specrefl_meng
+        from simple_spectral_tpu.spectra.upsample_meng import lrgb_to_specrefl_meng_soa
 
-        return lrgb_to_specrefl_meng(tables, lrgb, lam0, cfg.n_wavelengths, cfg.lambda_step)
+        return lrgb_to_specrefl_meng_soa(tables, cfg, r, g, b, lam0)
     if cfg.mode == MODE_JAKOB:
-        from simple_spectral_tpu.spectra.upsample_jakob import lrgb_to_specrefl_jakob
+        from simple_spectral_tpu.spectra.upsample_jakob import lrgb_to_specrefl_jakob_soa
 
-        return lrgb_to_specrefl_jakob(tables, lrgb, lam0, cfg.n_wavelengths, cfg.lambda_step)
+        return lrgb_to_specrefl_jakob_soa(tables, cfg, r, g, b, lam0)
     raise ValueError(f"no spectral upsampling in mode {cfg.mode!r}")
 
 
-def sample_texture_lrgb(scene: SceneData, st):
-    """Clamped nearest-neighbor sRGB texture fetch -> lRGB (reference
-    src/material.cpp:66-97: ST -> UV -> index with vertical flip)."""
-    tex = scene.texture  # u8[H, W, 3], scanlines top-to-bottom
-    h, w = tex.shape[0], tex.shape[1]
-    i = jnp.clip(jnp.floor(st[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    j = jnp.clip(jnp.floor(h - st[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    srgb = tex[j, i].astype(jnp.float32) * (1.0 / 255.0)
-    return srgb_to_lrgb(srgb)
-
-
-def evaluate_emission(scene: SceneData, tables, cfg: RenderConfig, mat, st, lam0):
-    """Emitted radiance sample, direction-independent (reference
-    src/material.hpp:101-108).  mat: i32[N] -> f32[N,S]."""
-    m = scene.materials
-    if cfg.spectral:
-        return sample_hero_batched(
-            m.emission_values[mat],
-            m.emission_low[mat],
-            m.emission_inv_step[mat],
-            lam0,
-            cfg.n_wavelengths,
-            cfg.lambda_step,
-        )
-    return m.emission_rgb[mat]
-
-
-def evaluate_albedo(scene: SceneData, tables, cfg: RenderConfig, mat, st, lam0):
+def evaluate_albedo_soa(scene: SceneData, tables, cfg: RenderConfig, mat, oh, st_s, st_t, lam0):
     """Albedo sample: constant spectrum / constant RGB / on-the-fly spectral
     upsample of an sRGB texel (the paper's headline trick; reference
-    src/material.cpp:45-64).  -> f32[N,S]."""
+    src/material.cpp:45-64).  -> f32[S, N]."""
     m = scene.materials
     if cfg.spectral:
-        const = sample_hero_batched(
-            m.albedo_values[mat],
-            m.albedo_low[mat],
-            m.albedo_inv_step[mat],
-            lam0,
-            cfg.n_wavelengths,
-            cfg.lambda_step,
-        )
+        rows = material_rows(m.albedo_values, oh)
+        low_n = select_column(m.albedo_low, mat, m.n_materials)
+        inv_n = select_column(m.albedo_inv_step, mat, m.n_materials)
+        const = sample_rows_hero(rows, low_n, inv_n, lam0, cfg.n_wavelengths, cfg.lambda_step)
     else:
-        const = m.albedo_rgb[mat]
+        const = jnp.einsum("mc,mn->cn", m.albedo_rgb, oh, precision=_HI)
     if scene.texture is None:
         return const
-    lrgb = sample_texture_lrgb(scene, st)
-    texv = lrgb_to_specrefl(tables, cfg, lrgb, lam0) if cfg.spectral else lrgb
-    is_tex = (m.albedo_kind[mat] == ALBEDO_TEXTURE)[..., None]
-    return jnp.where(is_tex, texv, const)
+    r, g, b = sample_texture_lrgb(scene, st_s, st_t)
+    if cfg.spectral:
+        texv = lrgb_to_specrefl_soa(tables, cfg, r, g, b, lam0)
+    else:
+        texv = jnp.stack([r, g, b])
+    is_tex = (select_column(m.albedo_kind.astype(jnp.float32), mat, m.n_materials) > 0.5)
+    return jnp.where(is_tex[None, :], texv, const)
 
 
-def evaluate_bsdf(scene, tables, cfg, mat, st, lam0):
+def evaluate_bsdf_soa(scene, tables, cfg, mat, oh, st_s, st_t, lam0):
     """BSDF value for a given (implicit) w_i from NEE.  Mirrors are Dirac
     deltas: impossible to hit, value 0 (reference src/material.cpp:146-152).
-    -> f32[N,S]."""
-    albedo = evaluate_albedo(scene, tables, cfg, mat, st, lam0)
-    is_mirror = (scene.materials.bsdf_type[mat] == BSDF_MIRROR)[..., None]
-    return jnp.where(is_mirror, 0.0, albedo * (1.0 / PI))
+    -> f32[S, N]."""
+    albedo = evaluate_albedo_soa(scene, tables, cfg, mat, oh, st_s, st_t, lam0)
+    bt = select_column(
+        scene.materials.bsdf_type.astype(jnp.float32), mat, scene.materials.n_materials
+    )
+    is_mirror = bt == float(BSDF_MIRROR)
+    return jnp.where(is_mirror[None, :], 0.0, albedo * (1.0 / PI))
 
 
-def interact_bsdf(key, scene, tables, cfg, mat, st, lam0, w_o, normal):
+def interact_bsdf_soa(key, scene, tables, cfg, mat, oh, st_s, st_t, lam0, w_o: V3, normal: V3):
     """Sample the BSDF: cosine-hemisphere for Lambertian (reference
     src/material.cpp:130-143), reflection with a delta pdf for mirrors
     (src/material.cpp:154-167).
 
-    Returns (w_i f32[N,3], pdf f32[N], f_s f32[N,S], is_delta bool[N]).
+    Returns (w_i V3[N], pdf f32[N], f_s f32[S,N], is_delta bool[N]).
     The delta pdf is returned as +inf, exactly as the reference's sentinel
     (the integrator converts it to the n.l := 1, pdf := 1 convention,
     reference src/renderer.cpp:234-243).
     """
     from simple_spectral_tpu.render.sampling import rand_coshemi, reflect, rotated_to
+    from simple_spectral_tpu.render.vec import where as v3where
 
-    albedo = evaluate_albedo(scene, tables, cfg, mat, st, lam0)
+    albedo = evaluate_albedo_soa(scene, tables, cfg, mat, oh, st_s, st_t, lam0)
     local, pdf_lam = rand_coshemi(key, mat.shape, cfg.eps)
     w_i_lam = rotated_to(local, normal)
     w_i_mir = reflect(w_o, normal)
 
-    is_mirror = scene.materials.bsdf_type[mat] == BSDF_MIRROR
-    w_i = jnp.where(is_mirror[..., None], w_i_mir, w_i_lam)
+    bt = select_column(
+        scene.materials.bsdf_type.astype(jnp.float32), mat, scene.materials.n_materials
+    )
+    is_mirror = bt == float(BSDF_MIRROR)
+    w_i = v3where(is_mirror, w_i_mir, w_i_lam)
     pdf = jnp.where(is_mirror, jnp.inf, pdf_lam)
-    f_s = jnp.where(is_mirror[..., None], albedo, albedo * (1.0 / PI))
+    f_s = jnp.where(is_mirror[None, :], albedo, albedo * (1.0 / PI))
     return w_i, pdf, f_s, is_mirror

@@ -42,6 +42,12 @@ def forward_backward_step(scene, tables, cfg: RenderConfig, key, px_flat, target
     def loss_fn(params):
         s2 = with_material_params(scene, params)
 
+        # NOTE on memory: AD residuals scale with spp (each scanned sample's
+        # trace is held live for the backward sweep), so callers bound spp
+        # per call and chunk on the host -- jax.checkpoint would trade the
+        # memory for recompute, but remat'd scans currently send this
+        # environment's AOT compiler into a tailspin, and host chunking
+        # achieves the same peak-memory bound.
         def body(acc, k):
             res = trace_lanes(s2, tables, cfg, k, px_i, px_j)
             return acc + res.value, None

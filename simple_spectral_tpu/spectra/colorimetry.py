@@ -302,6 +302,27 @@ def specradflux_to_ciexyz_hero(
     return jnp.stack(xyz, axis=-1)
 
 
+def specradflux_to_ciexyz_hero_soa(
+    tables: ColorTables, flux, lambda_0, n_wavelengths: int, lambda_step: float
+):
+    """SoA (lane-last) hero-sample XYZ estimator: flux f32[S, N],
+    lambda_0 f32[N] -> f32[3, N].
+
+    Same math as :func:`specradflux_to_ciexyz_hero` restructured for the TPU:
+    the per-wavelength observer lookups become one hat-weight contraction
+    shared by all three channels, followed by a tiny [3,K]x[K,N] matmul.
+    """
+    from simple_spectral_tpu.spectra.spectrum import hat_weights, hero_lams_soa
+
+    lams = hero_lams_soa(lambda_0, n_wavelengths, lambda_step)  # [S, N]
+    x = (lams - tables.obs_low) * tables.obs_inv_step
+    w = hat_weights(x, tables.obs_values.shape[-1])  # [K, S, N]
+    acc = jnp.sum(w * flux[None, :, :], axis=1)  # [K, N]
+    return jnp.einsum(
+        "ck,kn->cn", tables.obs_values, acc, precision=jax.lax.Precision.HIGHEST
+    ) * lambda_step
+
+
 # --- full-spectrum XYZ (host, init-time; reference src/util/color.hpp:106-111) ---
 
 

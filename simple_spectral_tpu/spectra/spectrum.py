@@ -216,6 +216,25 @@ def sample_nearest(values, low, inv_step, lam):
     return jnp.where(ok, jnp.take(values, jnp.clip(i, 0, n - 1), axis=-1), 0.0)
 
 
+def hero_lams_soa(lam0, n_wavelengths: int, lambda_step: float):
+    """f32[N] -> f32[S, N] hero wavelengths, lane-last layout (reference
+    src/spectrum.cpp:61-67)."""
+    offs = jnp.arange(n_wavelengths, dtype=jnp.float32) * lambda_step
+    return lam0[None, :] + offs[:, None]
+
+
+def hat_weights(x, k_dim: int):
+    """x: f32[..., N] fractional table coordinate -> f32[K, ..., N] linear
+    reconstruction ('hat' basis) weights.  sum_k table[k] * hat(x - k) is
+    exactly linear interpolation with zero outside the table -- the
+    reference's reconstruction semantics (src/spectrum.cpp:39-60) as a fused
+    multiply-reduce instead of per-lane gathers."""
+    import jax
+
+    iota = jax.lax.broadcasted_iota(jnp.float32, (k_dim,) + (1,) * x.ndim, 0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[None] - iota))
+
+
 def hero_wavelengths(lambda_0, n_wavelengths: int, lambda_step: float):
     """lambda_i = lambda_0 + i * LAMBDA_STEP, i in [0, n) (reference
     src/spectrum.cpp:61-67).  lambda_0: f32[...] -> f32[..., n]."""

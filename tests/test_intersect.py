@@ -102,10 +102,9 @@ def test_closest_hit_and_normal(cornell):
     assert bool(rec.hit[0])
     d = float(rec.dist[0])
     assert 800.0 < d < 800.0 + 559.2 + 1.0
-    # hit the tall block front face (z=296 plane at x=278? tall block spans
-    # x 265..472 at z 247..456) or the back wall; either way normal faces -z.
-    n = np.asarray(rec.normal[0])
-    assert n[2] < 0.0 or abs(d - (800.0 + 559.2)) < 1.0
+    # hit the tall block front face or the back wall; either way the normal
+    # faces back toward -z.
+    assert float(rec.normal.z[0]) < 0.0 or abs(d - (800.0 + 559.2)) < 1.0
 
 
 def test_quad_diagonal_watertight(cornell):
