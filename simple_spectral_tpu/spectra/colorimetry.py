@@ -96,6 +96,13 @@ class ColorTables:
     basis_low: float = 0.0
     basis_inv_step: float = 0.0
 
+    # Meng et al. 2015 grid (mode="meng" only): dict of device arrays +
+    # static ints (see spectra/upsample_meng.py).
+    meng: Optional[dict] = None
+
+    # Jakob-Hanika 2019 coefficient cube (mode="jakob" only).
+    jakob: Optional[dict] = None
+
     # Host-side spectra kept for scene building (not traced).
     host: Optional[dict] = dataclasses.field(default=None, compare=False)
 
@@ -111,6 +118,8 @@ _CT_CHILDREN = (
     "matr_lrgb_to_xyz",
     "matr_xyz_to_lrgb",
     "basis_values",
+    "meng",
+    "jakob",
 )
 _CT_AUX = ("obs_low", "obs_inv_step", "d65_low", "d65_inv_step", "basis_low", "basis_inv_step")
 
@@ -157,6 +166,16 @@ def build_color_tables(cfg: RenderConfig, dtype=jnp.float32) -> ColorTables:
     basis_low = 0.0
     basis_inv_step = 0.0
     basis_host = None
+    meng = None
+    jakob = None
+    if cfg.mode == MODE_MENG:
+        from simple_spectral_tpu.spectra.upsample_meng import load_meng_tables
+
+        meng = load_meng_tables(dtype)
+    if cfg.mode == MODE_JAKOB:
+        from simple_spectral_tpu.spectra.upsample_jakob import load_jakob_tables
+
+        jakob = load_jakob_tables(dtype)
     if cfg.mode == MODE_MALLETT:
         basis_file, b_lo, b_hi = _BASIS_FILES[cfg.observer]
         bcols = load_spectral_csv(basis_file)
@@ -182,6 +201,8 @@ def build_color_tables(cfg: RenderConfig, dtype=jnp.float32) -> ColorTables:
         basis_values=basis_values,
         basis_low=basis_low,
         basis_inv_step=basis_inv_step,
+        meng=meng,
+        jakob=jakob,
         host={
             "obs": obs,
             "d65_orig": d65_orig,
