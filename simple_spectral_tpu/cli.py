@@ -50,6 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="texture for the srgb scenes (the reference's 4096^2 "
                    "texture is missing from its own checkout)")
     p.add_argument("--quiet", action="store_true")
+    # progressive rendering / checkpointing (no reference analog)
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="accumulate progressively and checkpoint to PATH "
+                   "(.npz); resumes automatically if PATH exists")
+    p.add_argument("--checkpoint-every", type=int, default=8, metavar="N",
+                   help="checkpoint every N passes")
+    p.add_argument("--pass-spp", type=int, default=4,
+                   help="samples per pixel per progressive pass")
+    p.add_argument("--metrics-json", default=None, metavar="PATH",
+                   help="write render metrics as one JSON line to PATH ('-' = stdout)")
     return p
 
 
@@ -78,16 +88,29 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     from simple_spectral_tpu.io.image import save_image
-    from simple_spectral_tpu.render.renderer import render_image
+    from simple_spectral_tpu.render.progressive import ProgressiveRenderer
 
     t0 = time.time()
-    fb = render_image(cfg, seed=args.seed, progress=not args.quiet)
+    pr = ProgressiveRenderer(
+        cfg, seed=args.seed, checkpoint_path=args.checkpoint, spp_per_pass=args.pass_spp
+    )
+    if args.checkpoint and pr.resume():
+        print(f"resumed from {args.checkpoint} at {pr.spp_done} spp", file=sys.stderr)
+    pr.run(checkpoint_every=args.checkpoint_every, progress=not args.quiet)
     dt = time.time() - t0
+    fb = pr.image()
     save_image(args.output, fb)
     if not args.quiet:
-        rays = cfg.width * cfg.height * cfg.spp * (2 * cfg.max_depth - 1 if cfg.els else cfg.max_depth)
-        print(f"rendered {cfg.scene} {cfg.width}x{cfg.height}@{cfg.spp}spp mode={cfg.mode} "
-              f"in {dt:.2f}s (<= {rays/dt/1e6:.2f} Mrays/s bound) -> {args.output}")
+        m = pr.metrics
+        print(f"rendered {cfg.scene} {cfg.width}x{cfg.height}@{pr.spp_done}spp mode={cfg.mode} "
+              f"in {dt:.2f}s ({m.mrays_per_s:.2f} Mrays/s) -> {args.output}")
+    if args.metrics_json:
+        line = pr.metrics.to_json()
+        if args.metrics_json == "-":
+            print(line)
+        else:
+            with open(args.metrics_json, "w") as f:
+                f.write(line + "\n")
     return 0
 
 

@@ -1,0 +1,165 @@
+"""Progressive rendering with checkpoint/resume.
+
+The reference computes all spp for a pixel in one call and its only artifact
+is the final image (reference src/renderer.cpp:292-296); long renders cannot
+be resumed (SURVEY.md section 5 "checkpoint/resume": none).  Here rendering
+is a sequence of *passes* (a few spp each across the whole image) whose
+per-pixel value sums accumulate in float64 on the host; every K passes the
+accumulator serializes to an .npz, so long/preemptible renders restart where
+they stopped.  Sample keys derive from (seed, pass index), so a resumed
+render produces bitwise the same estimate as an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_spectral_tpu.config import RenderConfig
+from simple_spectral_tpu.render.renderer import _render_chunk, finalize_srgb
+from simple_spectral_tpu.utils.metrics import RenderMetrics
+
+_CKPT_VERSION = 1
+
+
+def _cfg_fingerprint(cfg: RenderConfig) -> str:
+    return json.dumps(dataclasses.asdict(cfg), sort_keys=True)
+
+
+class ProgressiveRenderer:
+    """Accumulates render passes; checkpointable.
+
+    Usage::
+
+        pr = ProgressiveRenderer(cfg, checkpoint_path="render.ckpt.npz")
+        pr.resume()                # no-op if no checkpoint exists
+        pr.run()                   # renders remaining passes, checkpoints
+        fb = pr.image()            # sRGB+A f32[H, W, 4]
+    """
+
+    def __init__(
+        self,
+        cfg: RenderConfig,
+        scene=None,
+        tables=None,
+        seed: int = 0,
+        checkpoint_path: Optional[str] = None,
+        spp_per_pass: int = 4,
+    ):
+        from simple_spectral_tpu.scene.library import build_scene
+        from simple_spectral_tpu.spectra.colorimetry import build_color_tables
+
+        self.cfg = cfg
+        self.tables = tables if tables is not None else build_color_tables(cfg)
+        self.scene = scene if scene is not None else build_scene(cfg, self.tables)
+        self.seed = seed
+        self.checkpoint_path = checkpoint_path
+        self.spp_per_pass = max(1, min(spp_per_pass, cfg.spp))
+
+        n_px = cfg.width * cfg.height
+        self.sum_value = np.zeros((n_px, 3), np.float64)
+        self.sum_alpha = np.zeros((n_px,), np.float64)
+        self.spp_done = 0
+        self.metrics = RenderMetrics(cfg)
+
+    # --- checkpointing ---
+
+    def save_checkpoint(self, path: Optional[str] = None) -> str:
+        path = path or self.checkpoint_path
+        assert path, "no checkpoint path configured"
+        tmp = path + ".tmp"
+        np.savez_compressed(
+            tmp if tmp.endswith(".npz") else tmp,
+            version=_CKPT_VERSION,
+            cfg=_cfg_fingerprint(self.cfg),
+            seed=self.seed,
+            spp_done=self.spp_done,
+            sum_value=self.sum_value,
+            sum_alpha=self.sum_alpha,
+        )
+        # numpy appends .npz to names without it
+        actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(actual_tmp, path)
+        return path
+
+    def resume(self, path: Optional[str] = None) -> bool:
+        """Load state from a checkpoint; returns True if one was loaded."""
+        path = path or self.checkpoint_path
+        if not path or not os.path.exists(path):
+            return False
+        z = np.load(path, allow_pickle=False)
+        if int(z["version"]) != _CKPT_VERSION:
+            raise ValueError(f"checkpoint version {z['version']} != {_CKPT_VERSION}")
+        if str(z["cfg"]) != _cfg_fingerprint(self.cfg):
+            raise ValueError("checkpoint was produced by a different RenderConfig")
+        if int(z["seed"]) != self.seed:
+            raise ValueError("checkpoint seed differs")
+        self.sum_value = np.asarray(z["sum_value"])
+        self.sum_alpha = np.asarray(z["sum_alpha"])
+        self.spp_done = int(z["spp_done"])
+        return True
+
+    # --- rendering ---
+
+    def run_pass(self, pass_spp: Optional[int] = None) -> int:
+        """Render one pass of ``pass_spp`` samples per pixel; returns the new
+        spp_done."""
+        cfg = self.cfg
+        pass_spp = pass_spp or min(self.spp_per_pass, cfg.spp - self.spp_done)
+        assert pass_spp > 0
+        pass_idx = self.spp_done  # unique stream id per sample offset
+        n_px = cfg.width * cfg.height
+        px_per_chunk = max(1, min(n_px, cfg.max_lanes))
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1 + pass_idx)
+        t0 = time.time()
+        for c in range((n_px + px_per_chunk - 1) // px_per_chunk):
+            lo = c * px_per_chunk
+            hi = min(lo + px_per_chunk, n_px)
+            px = jnp.arange(lo, hi, dtype=jnp.int32)
+            ck = jax.random.fold_in(key, c)
+            sum_v, sum_a = _render_chunk(self.scene, self.tables, cfg, ck, px, pass_spp)
+            self.sum_value[lo:hi] += np.asarray(sum_v, np.float64)
+            self.sum_alpha[lo:hi] += np.asarray(sum_a, np.float64)
+        self.spp_done += pass_spp
+        self.metrics.record_pass(pass_spp, time.time() - t0)
+        return self.spp_done
+
+    def run(self, checkpoint_every: int = 0, progress: bool = False):
+        """Render until cfg.spp samples are accumulated."""
+        n_pass = 0
+        while self.spp_done < self.cfg.spp:
+            self.run_pass()
+            n_pass += 1
+            if progress:
+                m = self.metrics
+                print(
+                    f"\rpass {n_pass}: {self.spp_done}/{self.cfg.spp} spp, "
+                    f"{m.mrays_per_s:.1f} Mrays/s", end="", flush=True,
+                )
+            if checkpoint_every and self.checkpoint_path and n_pass % checkpoint_every == 0:
+                self.save_checkpoint()
+        if progress:
+            print()
+        if self.checkpoint_path:
+            self.save_checkpoint()
+
+    # --- output ---
+
+    def mean_value(self):
+        spp = max(self.spp_done, 1)
+        h, w = self.cfg.height, self.cfg.width
+        return (
+            (self.sum_value / spp).reshape(h, w, 3),
+            (self.sum_alpha / spp).reshape(h, w),
+        )
+
+    def image(self) -> np.ndarray:
+        value, alpha = self.mean_value()
+        return finalize_srgb(self.cfg, self.tables, value, alpha)

@@ -1,0 +1,67 @@
+"""Progressive rendering + checkpoint/resume invariants."""
+
+import numpy as np
+import pytest
+
+from simple_spectral_tpu.config import RenderConfig
+from simple_spectral_tpu.render.progressive import ProgressiveRenderer
+from simple_spectral_tpu.scene.library import build_scene
+from simple_spectral_tpu.spectra.colorimetry import build_color_tables
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RenderConfig(scene="cornell", mode="rgb", width=8, height=8, spp=8, max_depth=3)
+    tables = build_color_tables(cfg)
+    scene = build_scene(cfg, tables)
+    return cfg, scene, tables
+
+
+def test_resume_is_bitwise_identical(setup, tmp_path):
+    cfg, scene, tables = setup
+    ckpt = str(tmp_path / "r.ckpt.npz")
+
+    # uninterrupted render
+    a = ProgressiveRenderer(cfg, scene, tables, seed=9, spp_per_pass=2)
+    a.run()
+    va, _ = a.mean_value()
+
+    # interrupted after 2 passes, then resumed by a fresh renderer
+    b1 = ProgressiveRenderer(cfg, scene, tables, seed=9, checkpoint_path=ckpt, spp_per_pass=2)
+    b1.run_pass()
+    b1.run_pass()
+    b1.save_checkpoint()
+
+    b2 = ProgressiveRenderer(cfg, scene, tables, seed=9, checkpoint_path=ckpt, spp_per_pass=2)
+    assert b2.resume()
+    assert b2.spp_done == 4
+    b2.run()
+    vb, _ = b2.mean_value()
+    assert np.array_equal(va, vb), np.abs(va - vb).max()
+
+
+def test_resume_rejects_mismatched_config(setup, tmp_path):
+    cfg, scene, tables = setup
+    ckpt = str(tmp_path / "r.ckpt.npz")
+    a = ProgressiveRenderer(cfg, scene, tables, seed=1, checkpoint_path=ckpt)
+    a.run_pass()
+    a.save_checkpoint()
+
+    cfg2 = cfg.replace(spp=16)
+    b = ProgressiveRenderer(cfg2, scene, tables, seed=1, checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        b.resume()
+    c = ProgressiveRenderer(cfg, scene, tables, seed=2, checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        c.resume()
+
+
+def test_metrics_populated(setup):
+    cfg, scene, tables = setup
+    a = ProgressiveRenderer(cfg, scene, tables, seed=0, spp_per_pass=4)
+    a.run()
+    d = a.metrics.to_dict()
+    assert d["spp"] == cfg.spp
+    assert d["rays_traced"] == 8 * 8 * 8 * (2 * 3 - 1)
+    assert d["mrays_per_s"] > 0
+    assert d["n_passes"] == 2
