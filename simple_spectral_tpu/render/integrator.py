@@ -32,10 +32,13 @@ from simple_spectral_tpu.render.sampling import (
     uniform,
 )
 from simple_spectral_tpu.render.shading import (
-    evaluate_bsdf_soa,
-    evaluate_emission_soa,
-    interact_bsdf_soa,
+    evaluate_albedo_cached,
+    evaluate_bsdf_from_albedo,
+    evaluate_emission_cached,
+    interact_bsdf_from_albedo,
+    is_mirror_mask,
     material_onehot,
+    precompute_constant_spectra,
     select_column,
 )
 from simple_spectral_tpu.render.vec import V3, dot, normalize, splat
@@ -140,7 +143,22 @@ def trace_lanes(
     else:
         lam0 = jnp.zeros((n,), jnp.float32)
 
+    # material spectra depend only on lam0: hoist out of the depth loop
+    cache = precompute_constant_spectra(scene, cfg, lam0)
+
+    def emission_gate(live_hit, depth):
+        # reference src/renderer.cpp:167-175; with ELS, last_was_delta is
+        # true only for the camera ray
+        gate = live_hit & (depth == 0) if cfg.els else live_hit
+        if cfg.indirect_only:
+            gate = gate & (depth > 0)
+        return gate
+
     def body(carry, depth):
+        """One full bounce: intersect, emission, NEE, BSDF continuation.
+        Runs for depth = 0 .. max_depth-2; the final depth adds emission
+        only (reference gates NEE/bounce on depth+1 < MAX_DEPTH,
+        src/renderer.cpp:178)."""
         (o, d, ignore, beta, radiance, alive, camera_hit) = carry
         kd = jax.random.fold_in(k_scan, depth)
         k_nee, k_bsdf = jax.random.split(kd)
@@ -150,21 +168,20 @@ def trace_lanes(
         camera_hit = camera_hit | (live_hit & (depth == 0))
         oh = material_onehot(scene.materials.n_materials, rec.mat)
 
-        # --- emission (reference src/renderer.cpp:167-175) ---
-        if cfg.els:
-            # with ELS, last_was_delta is true only for the camera ray
-            emit_gate = live_hit & (depth == 0)
-        else:
-            emit_gate = live_hit
-        if cfg.indirect_only:
-            emit_gate = emit_gate & (depth > 0)
-        emitted = evaluate_emission_soa(scene, tables, cfg, rec.mat, oh, lam0)
-        radiance = radiance + jnp.where(emit_gate[None, :], beta * emitted, 0.0)
+        emitted = evaluate_emission_cached(scene, cfg, cache, oh)
+        radiance = radiance + jnp.where(
+            emission_gate(live_hit, depth)[None, :], beta * emitted, 0.0
+        )
 
-        # --- the "if depth+1 < MAX_DEPTH" block (src/renderer.cpp:178-251) ---
-        more = live_hit & (depth + 1 < cfg.max_depth)
+        more = live_hit
         hit_dist = jnp.where(jnp.isfinite(rec.dist), rec.dist, 0.0)
         hit_pos = o + hit_dist * d
+
+        # albedo evaluated once per bounce, shared by NEE + BSDF sample
+        albedo = evaluate_albedo_cached(
+            scene, tables, cfg, cache, rec.mat, oh, rec.st_s, rec.st_t, lam0
+        )
+        is_mirror = is_mirror_mask(scene, rec.mat)
 
         # Next-event estimation (src/renderer.cpp:182-220)
         if cfg.els:
@@ -173,19 +190,19 @@ def trace_lanes(
             nee_gate = more & (n_dot_l > 0.0)
             if cfg.indirect_only:
                 nee_gate = nee_gate & (depth > 0)
-            shad_rec = intersect_rays_soa(scene, hit_pos, shad_d, rec.prim, cfg.eps)
+            shad_rec = intersect_rays_soa(
+                scene, hit_pos, shad_d, rec.prim, cfg.eps, need_attrs=False
+            )
             nee_gate = nee_gate & (shad_rec.prim == light_prim)
             oh_shad = material_onehot(scene.materials.n_materials, shad_rec.mat)
-            light_emit = evaluate_emission_soa(scene, tables, cfg, shad_rec.mat, oh_shad, lam0)
-            f_s_nee = evaluate_bsdf_soa(
-                scene, tables, cfg, rec.mat, oh, rec.st_s, rec.st_t, lam0
-            )
+            light_emit = evaluate_emission_cached(scene, cfg, cache, oh_shad)
+            f_s_nee = evaluate_bsdf_from_albedo(albedo, is_mirror)
             contrib = light_emit * (n_dot_l * inv_pdf)[None, :] * f_s_nee
             radiance = radiance + jnp.where(nee_gate[None, :], beta * contrib, 0.0)
 
         # BSDF sample + throughput update (src/renderer.cpp:222-250)
-        w_i, pdf, f_s, is_delta = interact_bsdf_soa(
-            k_bsdf, scene, tables, cfg, rec.mat, oh, rec.st_s, rec.st_t, lam0, -d, rec.normal
+        w_i, pdf, f_s, is_delta = interact_bsdf_from_albedo(
+            k_bsdf, cfg, albedo, is_mirror, -d, rec.normal
         )
         n_dot_l_b = dot(w_i, rec.normal)
         # delta convention: n.l := 1, pdf := 1 (src/renderer.cpp:234-243)
@@ -211,8 +228,22 @@ def trace_lanes(
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
     )
-    (_, _, _, _, radiance, _, camera_hit), _ = jax.lax.scan(
-        body, init, jnp.arange(cfg.max_depth, dtype=jnp.int32)
+    if cfg.max_depth > 1:
+        carry, _ = jax.lax.scan(
+            body, init, jnp.arange(cfg.max_depth - 1, dtype=jnp.int32)
+        )
+    else:
+        carry = init
+    # final depth: emission only (no NEE, no bounce, no attribute pickup)
+    (o, d, ignore, beta, radiance, alive, camera_hit) = carry
+    rec = intersect_rays_soa(scene, o, d, ignore, cfg.eps, need_attrs=False)
+    live_hit = alive & rec.hit
+    camera_hit = camera_hit | (live_hit & (cfg.max_depth == 1))
+    oh = material_onehot(scene.materials.n_materials, rec.mat)
+    emitted = evaluate_emission_cached(scene, cfg, cache, oh)
+    last_depth = jnp.int32(cfg.max_depth - 1)
+    radiance = radiance + jnp.where(
+        emission_gate(live_hit, last_depth)[None, :], beta * emitted, 0.0
     )
 
     # Flat-field correction (reference src/renderer.cpp:262-266): by default

@@ -67,11 +67,15 @@ def intersect_rays_soa(
     d: V3,  # ray directions, f32[N] x3
     ignore_prim: jnp.ndarray,  # i32[N]; -1 = ignore nothing
     eps: float,
+    need_attrs: bool = True,
 ) -> HitRecord:
     """Closest-hit intersection of N rays against all scene triangles.
 
     Semantics: reference Scene::intersect (src/scene.cpp:433-445) over
     PrimQuad/PrimTri::intersect, with the `ignore` self-hit exclusion.
+
+    ``need_attrs=False`` skips the normal/ST attribute reductions -- shadow
+    rays only need (hit, dist, prim, mat).
     """
     kx, ky, kz, dz = _pick_axes(d)
     inv_dz = 1.0 / dz
@@ -135,6 +139,12 @@ def intersect_rays_soa(
 
     prim = jnp.where(hit, pick_i(scene.tri_prim), -1)
     mat = jnp.where(hit, pick_i(scene.tri_mat), 0)
+    if not need_attrs:
+        zero = jnp.zeros_like(best_dist)
+        return HitRecord(
+            hit=hit, dist=best_dist, tri=best, prim=prim, mat=mat,
+            normal=V3(zero, zero, zero), st_s=zero, st_t=zero,
+        )
     normal = V3(
         pick_f(scene.tri_normal[:, 0]),
         pick_f(scene.tri_normal[:, 1]),

@@ -64,35 +64,59 @@ def material_rows(values, oh):
     return jnp.einsum("mk,mn->kn", values, oh, precision=_HI)
 
 
-def evaluate_emission_soa(scene: SceneData, tables, cfg: RenderConfig, mat, oh, lam0):
-    """Emitted radiance sample, direction-independent (reference
-    src/material.hpp:101-108).  -> f32[S, N]."""
+def precompute_constant_spectra(scene: SceneData, cfg: RenderConfig, lam0):
+    """Hero samples of every material's constant albedo/emission spectrum,
+    evaluated ONCE per camera sample: they depend only on lam0, not on the
+    bounce, so hoisting them out of the depth loop replaces a K-point hat
+    contraction per bounce with an M-point one-hot select.  -> dict of
+    f32[M, S, N] (spectral modes) or f32[M, 3, N]-equivalent einsum inputs
+    (rgb mode uses the raw [M, 3] tables directly)."""
     m = scene.materials
+    if not cfg.spectral:
+        return {"albedo": None, "emission": None}
+    lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)  # [S, N]
+
+    def sample_all(values, low, inv_step):
+        # values: f32[M, K]; low/inv_step: f32[M] -> f32[M, S, N]
+        x = (lams[None, :, :] - low[:, None, None]) * inv_step[:, None, None]
+        k_dim = values.shape[1]
+        w = hat_weights(x, k_dim)  # [K, M, S, N]
+        return jnp.sum(values.T[:, :, None, None] * w, axis=0)
+
+    return {
+        "albedo": sample_all(m.albedo_values, m.albedo_low, m.albedo_inv_step),
+        "emission": sample_all(m.emission_values, m.emission_low, m.emission_inv_step),
+    }
+
+
+def evaluate_emission_cached(scene: SceneData, cfg: RenderConfig, cache, oh):
+    """Emitted radiance sample, direction-independent (reference
+    src/material.hpp:101-108).  oh: f32[M, N] one-hot -> f32[S, N]."""
     if cfg.spectral:
-        rows = material_rows(m.emission_values, oh)
-        low_n = select_column(m.emission_low, mat, m.n_materials)
-        inv_n = select_column(m.emission_inv_step, mat, m.n_materials)
-        return sample_rows_hero(rows, low_n, inv_n, lam0, cfg.n_wavelengths, cfg.lambda_step)
-    return jnp.einsum("mc,mn->cn", m.emission_rgb, oh, precision=_HI)
+        return jnp.einsum("msn,mn->sn", cache["emission"], oh, precision=_HI)
+    return jnp.einsum("mc,mn->cn", scene.materials.emission_rgb, oh, precision=_HI)
 
 
 def sample_texture_lrgb(scene: SceneData, st_s, st_t):
     """Clamped nearest-neighbor sRGB texture fetch -> lRGB (reference
     src/material.cpp:66-97: ST -> UV -> index with vertical flip).
-    Returns (r, g, b) f32[N] in *linear* RGB."""
+    Returns (r, g, b) f32[N] in *linear* RGB.
+
+    The texture ships pre-packed as one u32 per texel (scene.types packs
+    0xRRGGBB) so the random-access fetch is a single gather instead of
+    three -- gathers dominate the textured-scene profile on TPU."""
     from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb
 
-    tex = scene.texture  # u8[H, W, 3], scanlines top-to-bottom
-    h, w = tex.shape[0], tex.shape[1]
+    tex = scene.texture  # u32[H*W] packed 0xRRGGBB, scanlines top-to-bottom
+    w, h = scene.tex_res
     i = jnp.clip(jnp.floor(st_s * w).astype(jnp.int32), 0, w - 1)
     j = jnp.clip(jnp.floor(h - st_t * h).astype(jnp.int32), 0, h - 1)
-    flat = j * w + i
-    texf = tex.reshape(-1, 3)
-    out = []
-    for c in range(3):
-        srgb = jnp.take(texf[:, c], flat, axis=0).astype(jnp.float32) * (1.0 / 255.0)
-        out.append(srgb_to_lrgb(srgb))
-    return out[0], out[1], out[2]
+    packed = jnp.take(tex, j * w + i, axis=0)
+    scale = 1.0 / 255.0
+    r = ((packed >> 16) & 0xFF).astype(jnp.float32) * scale
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32) * scale
+    b = (packed & 0xFF).astype(jnp.float32) * scale
+    return srgb_to_lrgb(r), srgb_to_lrgb(g), srgb_to_lrgb(b)
 
 
 def lrgb_to_specrefl_soa(tables: ColorTables, cfg: RenderConfig, r, g, b, lam0):
@@ -117,16 +141,15 @@ def lrgb_to_specrefl_soa(tables: ColorTables, cfg: RenderConfig, r, g, b, lam0):
     raise ValueError(f"no spectral upsampling in mode {cfg.mode!r}")
 
 
-def evaluate_albedo_soa(scene: SceneData, tables, cfg: RenderConfig, mat, oh, st_s, st_t, lam0):
+def evaluate_albedo_cached(
+    scene: SceneData, tables, cfg: RenderConfig, cache, mat, oh, st_s, st_t, lam0
+):
     """Albedo sample: constant spectrum / constant RGB / on-the-fly spectral
     upsample of an sRGB texel (the paper's headline trick; reference
     src/material.cpp:45-64).  -> f32[S, N]."""
     m = scene.materials
     if cfg.spectral:
-        rows = material_rows(m.albedo_values, oh)
-        low_n = select_column(m.albedo_low, mat, m.n_materials)
-        inv_n = select_column(m.albedo_inv_step, mat, m.n_materials)
-        const = sample_rows_hero(rows, low_n, inv_n, lam0, cfg.n_wavelengths, cfg.lambda_step)
+        const = jnp.einsum("msn,mn->sn", cache["albedo"], oh, precision=_HI)
     else:
         const = jnp.einsum("mc,mn->cn", m.albedo_rgb, oh, precision=_HI)
     if scene.texture is None:
@@ -140,22 +163,28 @@ def evaluate_albedo_soa(scene: SceneData, tables, cfg: RenderConfig, mat, oh, st
     return jnp.where(is_tex[None, :], texv, const)
 
 
-def evaluate_bsdf_soa(scene, tables, cfg, mat, oh, st_s, st_t, lam0):
-    """BSDF value for a given (implicit) w_i from NEE.  Mirrors are Dirac
-    deltas: impossible to hit, value 0 (reference src/material.cpp:146-152).
-    -> f32[S, N]."""
-    albedo = evaluate_albedo_soa(scene, tables, cfg, mat, oh, st_s, st_t, lam0)
+def is_mirror_mask(scene, mat):
     bt = select_column(
         scene.materials.bsdf_type.astype(jnp.float32), mat, scene.materials.n_materials
     )
-    is_mirror = bt == float(BSDF_MIRROR)
+    return bt == float(BSDF_MIRROR)
+
+
+def evaluate_bsdf_from_albedo(albedo, is_mirror):
+    """BSDF value for a given (implicit) w_i from NEE.  Mirrors are Dirac
+    deltas: impossible to hit, value 0 (reference src/material.cpp:146-152).
+    -> f32[S, N]."""
     return jnp.where(is_mirror[None, :], 0.0, albedo * (1.0 / PI))
 
 
-def interact_bsdf_soa(key, scene, tables, cfg, mat, oh, st_s, st_t, lam0, w_o: V3, normal: V3):
+def interact_bsdf_from_albedo(key, cfg, albedo, is_mirror, w_o: V3, normal: V3):
     """Sample the BSDF: cosine-hemisphere for Lambertian (reference
     src/material.cpp:130-143), reflection with a delta pdf for mirrors
     (src/material.cpp:154-167).
+
+    The albedo is evaluated once per bounce by the caller and shared with
+    the NEE BSDF evaluation (the reference evaluates it twice,
+    src/renderer.cpp:198-229 -- pure redundancy).
 
     Returns (w_i V3[N], pdf f32[N], f_s f32[S,N], is_delta bool[N]).
     The delta pdf is returned as +inf, exactly as the reference's sentinel
@@ -165,15 +194,10 @@ def interact_bsdf_soa(key, scene, tables, cfg, mat, oh, st_s, st_t, lam0, w_o: V
     from simple_spectral_tpu.render.sampling import rand_coshemi, reflect, rotated_to
     from simple_spectral_tpu.render.vec import where as v3where
 
-    albedo = evaluate_albedo_soa(scene, tables, cfg, mat, oh, st_s, st_t, lam0)
-    local, pdf_lam = rand_coshemi(key, mat.shape, cfg.eps)
+    local, pdf_lam = rand_coshemi(key, is_mirror.shape, cfg.eps)
     w_i_lam = rotated_to(local, normal)
     w_i_mir = reflect(w_o, normal)
 
-    bt = select_column(
-        scene.materials.bsdf_type.astype(jnp.float32), mat, scene.materials.n_materials
-    )
-    is_mirror = bt == float(BSDF_MIRROR)
     w_i = v3where(is_mirror, w_i_mir, w_i_lam)
     pdf = jnp.where(is_mirror, jnp.inf, pdf_lam)
     f_s = jnp.where(is_mirror[None, :], albedo, albedo * (1.0 / PI))

@@ -192,7 +192,16 @@ class _Builder:
             light_prims=jnp.asarray(light_prims, jnp.int32),
             materials=materials,
             camera=camera,
-            texture=(jnp.asarray(self.texture) if self.texture is not None else None),
+            # packed u32 0xRRGGBB per texel: one gather per fetch on device
+            texture=(
+                jnp.asarray(
+                    (self.texture[..., 0].astype(np.uint32) << 16)
+                    | (self.texture[..., 1].astype(np.uint32) << 8)
+                    | self.texture[..., 2].astype(np.uint32)
+                ).reshape(-1)
+                if self.texture is not None
+                else None
+            ),
             n_tris=len(tri_mat),
             n_prims=len(self.quads),
             n_lights=len(light_prims),
