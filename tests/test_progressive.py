@@ -65,3 +65,24 @@ def test_metrics_populated(setup):
     assert d["rays_traced"] == 8 * 8 * 8 * (2 * 3 - 1)
     assert d["mrays_per_s"] > 0
     assert d["n_passes"] == 2
+
+
+def test_native_and_numpy_backends_agree(setup):
+    cfg, scene, tables = setup
+    from simple_spectral_tpu.utils.native_fb import load_native
+
+    if load_native() is None:
+        pytest.skip("no C++ compiler")
+    a = ProgressiveRenderer(cfg, scene, tables, seed=3, native=True)
+    b = ProgressiveRenderer(cfg, scene, tables, seed=3, native=False)
+    assert a.native and not b.native
+    a.run()
+    b.run()
+    va, aa = a.mean_value()
+    vb, ab = b.mean_value()
+    assert np.array_equal(va, vb) and np.array_equal(aa, ab)
+    # the native u8 tonemap agrees with the python finalize within 1 LSB
+    ua = a.image_u8()
+    fb = b.image()[::-1]
+    ub = np.clip(np.round(fb * 255.0), 0, 255).astype(np.uint8)
+    assert np.abs(ua.astype(int) - ub.astype(int)).max() <= 1
