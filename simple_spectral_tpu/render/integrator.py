@@ -1,20 +1,38 @@
-"""Wavefront path-tracing integrator (SoA layout).
+"""Wavefront path-tracing integrator (SoA layout, deferred shading).
 
 The reference's recursive per-ray lambda ``L`` (reference
 src/renderer.cpp:147-255) is inverted into a flat array-of-lanes program: one
-lane = one (pixel, sample) pair carrying (origin, direction, throughput,
-accumulated radiance, aliveness) as lane vectors -- positions as V3 tuples of
-``f32[N]``, spectra as ``f32[S, N]`` (see render/vec.py for the layout rule).
-A ``lax.scan`` over bounce depth runs the loop body -- intersect-all-
-triangles, masked emission add, next-event estimation, branchless BSDF sample
--- on every lane simultaneously; dead lanes are masked rather than retired
-(cornell paths rarely terminate early since the reference has no russian
-roulette, so lane waste is small).
+lane = one (pixel, sample) pair -- positions as V3 tuples of ``f32[N]``,
+spectra as ``f32[S, N]`` (see render/vec.py for the layout rule).
+
+The integrator runs in TWO PHASES -- the TPU-native analog of wavefront path
+tracing with deferred shading:
+
+1. **Geometry phase** (``lax.scan`` over bounce depth): intersect, NEE light
+   sampling + shadow intersect, BSDF *direction* sampling.  Path geometry
+   never reads a material's albedo VALUE (Lambertian cosine sampling and
+   mirror reflection depend only on the material's type), so this loop
+   contains no texture access at all.  It records per bounce: material id,
+   texel index, NEE weight, shadow-hit material, BSDF weight, gates.
+
+2. **Shading phase** (straight-line, unrolled over depth): evaluates every
+   bounce's albedo -- constant spectra via one-hot contraction, textured
+   materials via texel gather + on-the-fly spectral upsampling -- then
+   reconstructs throughput as a cumulative product and accumulates emission
+   + NEE radiance.
+
+Why the split matters on TPU: a gather op placed next to the fat ``[T, N]``
+intersection fusions executes ~3 orders of magnitude slower than the same
+gather in thin straight-line context (measured on v5e: 2.5 ms vs ~7 us for
+262144 lanes).  Deferring shading moves all gathers (texture texels, Meng
+grid cells, Jakob-Hanika coefficient cube) out of the loop into phase 2,
+where they issue as independent fast gathers.
 
 Differentiable: radiance is linear in the material emission tables and
 polynomial in the albedo tables; the discrete hit structure (which triangle,
 which direction) does not depend on those leaves, so reverse-mode AD through
-this function yields the correct light-transport gradients.
+phase 2 yields the correct light-transport gradients while phase 1 is
+constant w.r.t. the parameters.
 """
 
 from __future__ import annotations
@@ -32,14 +50,16 @@ from simple_spectral_tpu.render.sampling import (
     uniform,
 )
 from simple_spectral_tpu.render.shading import (
-    evaluate_albedo_cached,
-    evaluate_bsdf_from_albedo,
-    evaluate_emission_cached,
-    interact_bsdf_from_albedo,
+    PI,
     is_mirror_mask,
+    is_textured_mask,
     material_onehot,
+    precompute_basis_hero,
     precompute_constant_spectra,
+    sample_bsdf_direction,
     select_column,
+    texel_fetch_lrgb,
+    texel_index,
 )
 from simple_spectral_tpu.render.vec import V3, dot, normalize, splat
 from simple_spectral_tpu.render.vec import where as v3where
@@ -118,6 +138,18 @@ class LaneResult(NamedTuple):
     alpha: jnp.ndarray  # f32[N]: 1 where the camera ray hit anything
 
 
+class BounceRecord(NamedTuple):
+    """Per-bounce geometry-phase outputs consumed by the shading phase.
+    All leaves are [N] per bounce, stacked to [D-1, N] by the scan."""
+
+    mat: jnp.ndarray  # i32: hit material id (0 where miss)
+    tex_idx: jnp.ndarray  # i32: flat texel index (0 when scene untextured)
+    emit_w: jnp.ndarray  # f32: 1 where this bounce's emission counts
+    nee_w: jnp.ndarray  # f32: n.l / pdf_light, 0 where NEE is gated off
+    shad_mat: jnp.ndarray  # i32: material hit by the shadow ray
+    bsdf_w: jnp.ndarray  # f32: n.l / pdf_bsdf (delta: 1), 0 where path died
+
+
 def trace_lanes(
     scene: SceneData,
     tables: ColorTables,
@@ -143,8 +175,14 @@ def trace_lanes(
     else:
         lam0 = jnp.zeros((n,), jnp.float32)
 
-    # material spectra depend only on lam0: hoist out of the depth loop
+    # material spectra depend only on lam0: evaluated once, reused per bounce
     cache = precompute_constant_spectra(scene, cfg, lam0)
+    if cfg.spectral and cfg.mode == "mallett" and scene.texture is not None:
+        # texture upsample basis, also lam0-only (see precompute_basis_hero)
+        cache["basis_hero"] = precompute_basis_hero(tables, cfg, lam0)
+
+    has_tex = scene.texture is not None
+    zeros_i = jnp.zeros((n,), jnp.int32)
 
     def emission_gate(live_hit, depth):
         # reference src/renderer.cpp:167-175; with ELS, last_was_delta is
@@ -154,97 +192,167 @@ def trace_lanes(
             gate = gate & (depth > 0)
         return gate
 
+    # ------------------------------------------------------------------ #
+    # Phase 1: geometry.  No albedo values, no gathers.                   #
+    # ------------------------------------------------------------------ #
     def body(carry, depth):
-        """One full bounce: intersect, emission, NEE, BSDF continuation.
-        Runs for depth = 0 .. max_depth-2; the final depth adds emission
-        only (reference gates NEE/bounce on depth+1 < MAX_DEPTH,
+        """One bounce's geometry: intersect, NEE visibility, direction
+        sample.  Runs for depth = 0 .. max_depth-2; the final depth adds
+        emission only (reference gates NEE/bounce on depth+1 < MAX_DEPTH,
         src/renderer.cpp:178)."""
-        (o, d, ignore, beta, radiance, alive, camera_hit) = carry
+        (o, d, ignore, alive, camera_hit) = carry
         kd = jax.random.fold_in(k_scan, depth)
         k_nee, k_bsdf = jax.random.split(kd)
 
         rec = intersect_rays_soa(scene, o, d, ignore, cfg.eps)
         live_hit = alive & rec.hit
         camera_hit = camera_hit | (live_hit & (depth == 0))
-        oh = material_onehot(scene.materials.n_materials, rec.mat)
+        emit_w = emission_gate(live_hit, depth).astype(jnp.float32)
 
-        emitted = evaluate_emission_cached(scene, cfg, cache, oh)
-        radiance = radiance + jnp.where(
-            emission_gate(live_hit, depth)[None, :], beta * emitted, 0.0
-        )
-
-        more = live_hit
         hit_dist = jnp.where(jnp.isfinite(rec.dist), rec.dist, 0.0)
         hit_pos = o + hit_dist * d
-
-        # albedo evaluated once per bounce, shared by NEE + BSDF sample
-        albedo = evaluate_albedo_cached(
-            scene, tables, cfg, cache, rec.mat, oh, rec.st_s, rec.st_t, lam0
-        )
         is_mirror = is_mirror_mask(scene, rec.mat)
+        tex_idx = texel_index(scene, rec.st_s, rec.st_t) if has_tex else zeros_i
 
-        # Next-event estimation (src/renderer.cpp:182-220)
+        # Next-event estimation geometry (src/renderer.cpp:182-220)
         if cfg.els:
             shad_d, inv_pdf, light_prim = _sample_light_dir(k_nee, scene, hit_pos)
             n_dot_l = dot(shad_d, rec.normal)
-            nee_gate = more & (n_dot_l > 0.0)
+            nee_gate = live_hit & (n_dot_l > 0.0)
             if cfg.indirect_only:
                 nee_gate = nee_gate & (depth > 0)
             shad_rec = intersect_rays_soa(
                 scene, hit_pos, shad_d, rec.prim, cfg.eps, need_attrs=False
             )
             nee_gate = nee_gate & (shad_rec.prim == light_prim)
-            oh_shad = material_onehot(scene.materials.n_materials, shad_rec.mat)
-            light_emit = evaluate_emission_cached(scene, cfg, cache, oh_shad)
-            f_s_nee = evaluate_bsdf_from_albedo(albedo, is_mirror)
-            contrib = light_emit * (n_dot_l * inv_pdf)[None, :] * f_s_nee
-            radiance = radiance + jnp.where(nee_gate[None, :], beta * contrib, 0.0)
+            nee_w = jnp.where(nee_gate, n_dot_l * inv_pdf, 0.0)
+            shad_mat = shad_rec.mat
+        else:
+            nee_w = jnp.zeros((n,), jnp.float32)
+            shad_mat = zeros_i
 
-        # BSDF sample + throughput update (src/renderer.cpp:222-250)
-        w_i, pdf, f_s, is_delta = interact_bsdf_from_albedo(
-            k_bsdf, cfg, albedo, is_mirror, -d, rec.normal
-        )
+        # BSDF direction sample (src/renderer.cpp:222-250).  The albedo
+        # VALUE never enters: only the material type picks the sampler.
+        # (The reference also kills paths whose f_s is identically zero,
+        # src/renderer.cpp:244-249 -- a CPU work-saving cutoff; in a masked
+        # wavefront dead lanes cost the same, and the zero throughput factor
+        # zeroes every later contribution, so results are identical.)
+        w_i, pdf, is_delta = sample_bsdf_direction(k_bsdf, cfg, is_mirror, -d, rec.normal)
         n_dot_l_b = dot(w_i, rec.normal)
         # delta convention: n.l := 1, pdf := 1 (src/renderer.cpp:234-243)
         n_dot_l_b = jnp.where(is_delta, 1.0, n_dot_l_b)
         pdf = jnp.where(is_delta, 1.0, pdf)
-        f_nonzero = jnp.sum(f_s * f_s, axis=0) > 0.0
-        cont = more & f_nonzero & (n_dot_l_b > 0.0)
-        weight = jnp.where(cont, n_dot_l_b / jnp.where(pdf > 0.0, pdf, 1.0), 0.0)
-        beta = beta * jnp.where(cont[None, :], f_s * weight[None, :], 1.0)
+        cont = live_hit & (n_dot_l_b > 0.0)
+        bsdf_w = jnp.where(cont, n_dot_l_b / jnp.where(pdf > 0.0, pdf, 1.0), 0.0)
 
         o = v3where(cont, hit_pos, o)
         d = v3where(cont, w_i, d)
         ignore = jnp.where(cont, rec.prim, ignore)
         alive = cont
-        return (o, d, ignore, beta, radiance, alive, camera_hit), None
+        ys = BounceRecord(
+            mat=rec.mat, tex_idx=tex_idx, emit_w=emit_w,
+            nee_w=nee_w, shad_mat=shad_mat, bsdf_w=bsdf_w,
+        )
+        return (o, d, ignore, alive, camera_hit), ys
 
     init = (
         ray_o,
         ray_d,
         jnp.full((n,), -1, jnp.int32),
-        jnp.ones((s_dim, n), jnp.float32),
-        jnp.zeros((s_dim, n), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
     )
-    if cfg.max_depth > 1:
-        carry, _ = jax.lax.scan(
-            body, init, jnp.arange(cfg.max_depth - 1, dtype=jnp.int32)
+    n_bounces = cfg.max_depth - 1
+    if n_bounces > 0:
+        carry, recs = jax.lax.scan(
+            body, init, jnp.arange(n_bounces, dtype=jnp.int32)
         )
     else:
-        carry = init
+        carry, recs = init, None
     # final depth: emission only (no NEE, no bounce, no attribute pickup)
-    (o, d, ignore, beta, radiance, alive, camera_hit) = carry
+    (o, d, ignore, alive, camera_hit) = carry
     rec = intersect_rays_soa(scene, o, d, ignore, cfg.eps, need_attrs=False)
     live_hit = alive & rec.hit
     camera_hit = camera_hit | (live_hit & (cfg.max_depth == 1))
-    oh = material_onehot(scene.materials.n_materials, rec.mat)
-    emitted = evaluate_emission_cached(scene, cfg, cache, oh)
     last_depth = jnp.int32(cfg.max_depth - 1)
-    radiance = radiance + jnp.where(
-        emission_gate(live_hit, last_depth)[None, :], beta * emitted, 0.0
-    )
+    final_emit_w = emission_gate(live_hit, last_depth).astype(jnp.float32)
+    final_mat = rec.mat
+
+    # ------------------------------------------------------------------ #
+    # Phase 2: shading.  Straight-line; all bounces' material selections   #
+    # run as ONE batched contraction so the [M, S, N] per-lane spectra     #
+    # cache is read once, not once per bounce (it exceeds VMEM, so         #
+    # per-bounce einsums would stream it from HBM 3x per bounce).          #
+    # ------------------------------------------------------------------ #
+    m = scene.materials
+    _HI = jax.lax.Precision.HIGHEST
+    D = cfg.max_depth
+
+    if n_bounces > 0:
+        mats_all = jnp.concatenate([recs.mat, final_mat[None, :]], axis=0)  # [D, N]
+    else:
+        mats_all = final_mat[None, :]
+    oh_all = (
+        jax.lax.broadcasted_iota(jnp.int32, (m.n_materials, 1, 1), 0)
+        == mats_all[None, :, :]
+    ).astype(jnp.float32)  # [M, D, N]
+
+    if cfg.spectral:
+        emission_all = jnp.einsum(
+            "msn,mdn->dsn", cache["emission"], oh_all, precision=_HI
+        )  # [D, S, N]
+        albedo_const_all = jnp.einsum(
+            "msn,mdn->dsn", cache["albedo"], oh_all, precision=_HI
+        )
+    else:
+        emission_all = jnp.einsum("mc,mdn->dcn", m.emission_rgb, oh_all, precision=_HI)
+        albedo_const_all = jnp.einsum("mc,mdn->dcn", m.albedo_rgb, oh_all, precision=_HI)
+    if cfg.els and n_bounces > 0:
+        oh_shad = (
+            jax.lax.broadcasted_iota(jnp.int32, (m.n_materials, 1, 1), 0)
+            == recs.shad_mat[None, :, :]
+        ).astype(jnp.float32)  # [M, D-1, N]
+        if cfg.spectral:
+            light_emit_all = jnp.einsum(
+                "msn,mdn->dsn", cache["emission"], oh_shad, precision=_HI
+            )
+        else:
+            light_emit_all = jnp.einsum(
+                "mc,mdn->dcn", m.emission_rgb, oh_shad, precision=_HI
+            )
+
+    def albedo_of(k):
+        const = albedo_const_all[k]
+        if not has_tex:
+            return const
+        r, g, b = texel_fetch_lrgb(scene, recs.tex_idx[k])
+        if cfg.spectral:
+            from simple_spectral_tpu.render.shading import lrgb_to_specrefl_soa
+
+            texv = lrgb_to_specrefl_soa(
+                tables, cfg, r, g, b, lam0, basis_hero=cache.get("basis_hero")
+            )
+        else:
+            texv = jnp.stack([r, g, b])
+        is_tex = is_textured_mask(scene, recs.mat[k])
+        return jnp.where(is_tex[None, :], texv, const)
+
+    beta = jnp.ones((s_dim, n), jnp.float32)
+    radiance = jnp.zeros((s_dim, n), jnp.float32)
+    for k in range(n_bounces):
+        radiance = radiance + (beta * recs.emit_w[k][None, :]) * emission_all[k]
+        albedo = albedo_of(k)
+        mirror = is_mirror_mask(scene, recs.mat[k])
+        if cfg.els:
+            # f_s for the light direction: Lambertian albedo/pi; a mirror's
+            # delta BRDF cannot be hit by NEE -> 0 (src/material.cpp:146-152)
+            f_s_nee = jnp.where(mirror[None, :], 0.0, albedo * (1.0 / PI))
+            radiance = radiance + beta * f_s_nee * light_emit_all[k] * recs.nee_w[k][None, :]
+        # throughput update: f_s = albedo (mirror) | albedo/pi (Lambertian),
+        # times n.l/pdf (delta convention already folded into bsdf_w)
+        f_fac = jnp.where(mirror[None, :], albedo, albedo * (1.0 / PI))
+        beta = beta * f_fac * recs.bsdf_w[k][None, :]
+    radiance = radiance + (beta * final_emit_w[None, :]) * emission_all[D - 1]
 
     # Flat-field correction (reference src/renderer.cpp:262-266): by default
     # the radiance estimate *is* the flux estimate; otherwise weight by the

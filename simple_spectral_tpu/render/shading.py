@@ -83,10 +83,24 @@ def precompute_constant_spectra(scene: SceneData, cfg: RenderConfig, lam0):
         w = hat_weights(x, k_dim)  # [K, M, S, N]
         return jnp.sum(values.T[:, :, None, None] * w, axis=0)
 
-    return {
+    cache = {
         "albedo": sample_all(m.albedo_values, m.albedo_low, m.albedo_inv_step),
         "emission": sample_all(m.emission_values, m.emission_low, m.emission_inv_step),
     }
+    return cache
+
+
+def precompute_basis_hero(tables: ColorTables, cfg: RenderConfig, lam0):
+    """Mallett-Yuksel r/g/b basis spectra sampled at the hero wavelengths,
+    f32[3, S, N].  Depends only on lam0, so the per-bounce texture upsample
+    collapses from a K-point hat contraction (the [K, S, N] weight tensor
+    cannot be hoisted out of the compiled depth loop -- XLA will not move a
+    VMEM-busting loop-invariant) to three FMAs per (wavelength, lane)."""
+    lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)  # [S, N]
+    x = (lams - tables.basis_low) * tables.basis_inv_step
+    w = hat_weights(x, tables.basis_values.shape[1])  # [K, S, N]
+    # basis_values: f32[3, K] -> bh[c, s, n]
+    return jnp.einsum("ck,ksn->csn", tables.basis_values, w, precision=_HI)
 
 
 def evaluate_emission_cached(scene: SceneData, cfg: RenderConfig, cache, oh):
@@ -95,6 +109,31 @@ def evaluate_emission_cached(scene: SceneData, cfg: RenderConfig, cache, oh):
     if cfg.spectral:
         return jnp.einsum("msn,mn->sn", cache["emission"], oh, precision=_HI)
     return jnp.einsum("mc,mn->cn", scene.materials.emission_rgb, oh, precision=_HI)
+
+
+def texel_index(scene: SceneData, st_s, st_t):
+    """Clamped nearest-neighbor ST -> flat texel index with vertical flip
+    (reference src/material.cpp:66-97), as pure int math for the geometry
+    phase -- the actual fetch is deferred to the shading phase."""
+    w, h = scene.tex_res
+    i = jnp.clip(jnp.floor(st_s * w).astype(jnp.int32), 0, w - 1)
+    j = jnp.clip(jnp.floor(h - st_t * h).astype(jnp.int32), 0, h - 1)
+    return j * w + i
+
+
+def texel_fetch_lrgb(scene: SceneData, tex_idx):
+    """Fetch packed texels at precomputed flat indices -> linear RGB
+    (r, g, b) f32[N] (reference src/material.cpp:45-64 pipeline: sRGB u8 ->
+    f32 -> srgb_to_lrgb).  The texture ships pre-packed as one u32 per texel
+    (scene.types packs 0xRRGGBB) so this is a single gather."""
+    from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb
+
+    packed = jnp.take(scene.texture, tex_idx, axis=0)
+    scale = 1.0 / 255.0
+    r = ((packed >> 16) & 0xFF).astype(jnp.float32) * scale
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32) * scale
+    b = (packed & 0xFF).astype(jnp.float32) * scale
+    return srgb_to_lrgb(r), srgb_to_lrgb(g), srgb_to_lrgb(b)
 
 
 def sample_texture_lrgb(scene: SceneData, st_s, st_t):
@@ -119,10 +158,22 @@ def sample_texture_lrgb(scene: SceneData, st_s, st_t):
     return srgb_to_lrgb(r), srgb_to_lrgb(g), srgb_to_lrgb(b)
 
 
-def lrgb_to_specrefl_soa(tables: ColorTables, cfg: RenderConfig, r, g, b, lam0):
+def lrgb_to_specrefl_soa(
+    tables: ColorTables, cfg: RenderConfig, r, g, b, lam0, basis_hero=None
+):
     """Mode dispatch of the paper's central operation: lRGB -> hero-sampled
-    reflectance f32[S, N] (reference src/util/color.cpp:166-235)."""
+    reflectance f32[S, N] (reference src/util/color.cpp:166-235).
+
+    ``basis_hero`` (f32[3, S, N], from precompute_basis_hero) short-circuits
+    the Mallett path to refl = r*R(hero) + g*G(hero) + b*B(hero) -- the
+    decomposition is linear in lRGB, so this is exact."""
     if cfg.mode == MODE_MALLETT:
+        if basis_hero is not None:
+            return (
+                basis_hero[0] * r[None, :]
+                + basis_hero[1] * g[None, :]
+                + basis_hero[2] * b[None, :]
+            )
         # basisdot[k, n] = sum_c basis[c, k] * rgb_c[n]; then hat-contract.
         rgb = jnp.stack([r, g, b])  # [3, N]
         basisdot = jnp.einsum("ck,cn->kn", tables.basis_values, rgb, precision=_HI)
@@ -156,7 +207,9 @@ def evaluate_albedo_cached(
         return const
     r, g, b = sample_texture_lrgb(scene, st_s, st_t)
     if cfg.spectral:
-        texv = lrgb_to_specrefl_soa(tables, cfg, r, g, b, lam0)
+        texv = lrgb_to_specrefl_soa(
+            tables, cfg, r, g, b, lam0, basis_hero=cache.get("basis_hero")
+        )
     else:
         texv = jnp.stack([r, g, b])
     is_tex = (select_column(m.albedo_kind.astype(jnp.float32), mat, m.n_materials) > 0.5)
@@ -168,6 +221,39 @@ def is_mirror_mask(scene, mat):
         scene.materials.bsdf_type.astype(jnp.float32), mat, scene.materials.n_materials
     )
     return bt == float(BSDF_MIRROR)
+
+
+def is_textured_mask(scene, mat):
+    """True for lanes whose hit material's albedo is the texture (reference
+    tagged union MaterialSimpleAlbedoBase, src/material.hpp:117-150)."""
+    kind = select_column(
+        scene.materials.albedo_kind.astype(jnp.float32), mat, scene.materials.n_materials
+    )
+    return kind > 0.5
+
+
+def sample_bsdf_direction(key, cfg, is_mirror, w_o: V3, normal: V3):
+    """Sample only the BSDF *direction*: cosine-hemisphere for Lambertian
+    (reference src/material.cpp:130-143), reflection with a delta pdf for
+    mirrors (src/material.cpp:154-167).  The albedo value never enters
+    direction sampling -- which is what lets the integrator defer all albedo
+    evaluation (and its gathers) to the shading phase.
+
+    Returns (w_i V3[N], pdf f32[N], is_delta bool[N]).  The delta pdf is
+    returned as +inf, exactly as the reference's sentinel (the integrator
+    converts it to the n.l := 1, pdf := 1 convention, reference
+    src/renderer.cpp:234-243).
+    """
+    from simple_spectral_tpu.render.sampling import rand_coshemi, reflect, rotated_to
+    from simple_spectral_tpu.render.vec import where as v3where
+
+    local, pdf_lam = rand_coshemi(key, is_mirror.shape, cfg.eps)
+    w_i_lam = rotated_to(local, normal)
+    w_i_mir = reflect(w_o, normal)
+
+    w_i = v3where(is_mirror, w_i_mir, w_i_lam)
+    pdf = jnp.where(is_mirror, jnp.inf, pdf_lam)
+    return w_i, pdf, is_mirror
 
 
 def evaluate_bsdf_from_albedo(albedo, is_mirror):

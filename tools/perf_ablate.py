@@ -1,6 +1,8 @@
-"""Ablation timings: isolate intersect / shading / NEE / texture costs."""
-import time
+"""Ablation timings: isolate intersect / shading / NEE / texture costs.
 
+Uses tools.tpu_bench (chained calls + RTT-subtracted readback) -- naive
+block_until_ready timing is meaningless through the axon tunnel.
+"""
 import jax
 import jax.numpy as jnp
 
@@ -8,31 +10,40 @@ from simple_spectral_tpu.config import RenderConfig
 from simple_spectral_tpu.render.renderer import _render_chunk
 from simple_spectral_tpu.scene.library import build_scene
 from simple_spectral_tpu.spectra.colorimetry import build_color_tables
+from tools.tpu_bench import chain_token, measure_rtt, timeit_chained
 
 N = 262144
 px = jnp.arange(N, dtype=jnp.int32)
-key = jax.random.PRNGKey(0)
+RTT = measure_rtt()
+print(f"tunnel RTT: {RTT*1e3:.1f} ms", flush=True)
 
 
-def bench(label, cfg):
+def bench(label, cfg, strip_texture=False):
+    import dataclasses
+
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
-    out = _render_chunk(scene, tables, cfg, key, px, 1)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(3):
+    if strip_texture:
+        scene = dataclasses.replace(scene, texture=None)
+
+    def step(state, i):
+        key, tok = state
+        key = jax.random.fold_in(key, tok + i)
         out = _render_chunk(scene, tables, cfg, key, px, 1)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / 3
+        return (key, chain_token(out))
+
     rays = N * (2 * cfg.max_depth - 1 if cfg.els else cfg.max_depth)
-    print(f"{label:42s} {dt*1e3:8.1f} ms  {rays/dt/1e6:8.1f} Mrays/s", flush=True)
-    return dt
+    timeit_chained(label, step, (jax.random.PRNGKey(0), jnp.int32(0)),
+                   K=12, rtt=RTT, rays=rays)
 
 
 base = dict(width=512, height=512, spp=64)
 bench("cornell-srgb mallett ELS  (canonical)", RenderConfig(scene="cornell-srgb", mode="mallett", **base))
+bench("cornell-srgb mallett TEXTURE STRIPPED", RenderConfig(scene="cornell-srgb", mode="mallett", **base), strip_texture=True)
 bench("cornell      mallett ELS  (no texture)", RenderConfig(scene="cornell", mode="mallett", **base))
 bench("cornell-srgb mallett noELS (no NEE)", RenderConfig(scene="cornell-srgb", mode="mallett", els=False, **base))
 bench("cornell-srgb rgb     ELS  (no spectra)", RenderConfig(scene="cornell-srgb", mode="rgb", **base))
 bench("cornell      rgb     noELS (minimal)", RenderConfig(scene="cornell", mode="rgb", els=False, **base))
 bench("cornell-srgb mallett ELS depth=2", RenderConfig(scene="cornell-srgb", mode="mallett", max_depth=2, **base))
+bench("cornell-srgb meng    ELS", RenderConfig(scene="cornell-srgb", mode="meng", **base))
+bench("cornell-srgb jakob   ELS", RenderConfig(scene="cornell-srgb", mode="jakob", **base))
