@@ -20,14 +20,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="simple-spectral-tpu",
         description="TPU-native differentiable spectral path tracer "
         "(capabilities of geometrian/simple-spectral).",
+        add_help=False,  # the reference's -h is height (src/main.cpp:44,107)
     )
+    p.add_argument("--help", action="help", help="show this message and exit")
     # reference flag surface (src/main.cpp:33-55)
     p.add_argument("-s", "--scene", default="cornell-srgb",
                    help="cornell | cornell-srgb | plane-srgb")
     p.add_argument("-w", "--width", type=int, default=512)
-    p.add_argument("--height", type=int, default=512,
-                   help="(the reference's -h collides with --help; use --height)")
-    p.add_argument("--spp", type=int, default=64, help="samples per pixel")
+    p.add_argument("-h", "--height", type=int, default=512)
+    p.add_argument("-spp", "--spp", type=int, default=64,
+                   help="samples per pixel")
     p.add_argument("-o", "--output", default="output.png",
                    help="output path; format by extension: .png .pfm .hdr .csv")
     p.add_argument("--indirect-only", action="store_true",

@@ -58,8 +58,8 @@ from simple_spectral_tpu.render.shading import (
     precompute_constant_spectra,
     sample_bsdf_direction,
     select_column,
-    texel_fetch_lrgb,
     texel_index,
+    texture_albedo_deferred,
 )
 from simple_spectral_tpu.render.vec import V3, dot, normalize, splat
 from simple_spectral_tpu.render.vec import where as v3where
@@ -325,15 +325,7 @@ def trace_lanes(
         const = albedo_const_all[k]
         if not has_tex:
             return const
-        r, g, b = texel_fetch_lrgb(scene, recs.tex_idx[k])
-        if cfg.spectral:
-            from simple_spectral_tpu.render.shading import lrgb_to_specrefl_soa
-
-            texv = lrgb_to_specrefl_soa(
-                tables, cfg, r, g, b, lam0, basis_hero=cache.get("basis_hero")
-            )
-        else:
-            texv = jnp.stack([r, g, b])
+        texv = texture_albedo_deferred(scene, tables, cfg, cache, recs.tex_idx[k], lam0)
         is_tex = is_textured_mask(scene, recs.mat[k])
         return jnp.where(is_tex[None, :], texv, const)
 

@@ -136,6 +136,64 @@ def texel_fetch_lrgb(scene: SceneData, tex_idx):
     return srgb_to_lrgb(r), srgb_to_lrgb(g), srgb_to_lrgb(b)
 
 
+def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, tex_idx, lam0):
+    """Per-bounce textured-albedo evaluation for the shading phase: one texel
+    row gather + dense math, per color pipeline.
+
+    - rgb:      packed-u32 gather -> lRGB                      -> f32[3, N]
+    - mallett:  packed-u32 gather, refl = r R + g G + b B with the basis
+                pre-sampled at the hero wavelengths (linear in lRGB, exact)
+    - jakob:    f32[T,3] row gather of precomputed sigmoid coefficients
+                (cube fetch hoisted to scene build), 3 FMA + rsqrt per (s,n)
+    - meng:     f32[T,12] row gather of precomputed (point ids, weights);
+                spectra contraction over grid points on the MXU, then a hat
+                contraction to the per-lane hero wavelengths
+    All table gathers beyond the single texel row are eliminated -- XLA's
+    TPU gather costs ~7 ns per index, so the reference's per-hit grid/cube
+    walks (reference src/util/color.cpp:166-235) are the wrong shape for
+    this hardware.
+    """
+    if not cfg.spectral:
+        r, g, b = texel_fetch_lrgb(scene, tex_idx)
+        return jnp.stack([r, g, b])
+    if cfg.mode == MODE_MALLETT:
+        r, g, b = texel_fetch_lrgb(scene, tex_idx)
+        bh = cache["basis_hero"]  # [3, S, N]
+        return bh[0] * r[None, :] + bh[1] * g[None, :] + bh[2] * b[None, :]
+    if cfg.mode == MODE_JAKOB:
+        from simple_spectral_tpu.spectra.upsample_jakob import rgb2spec_eval_soa
+
+        rows = jnp.take(scene.tex_aux, tex_idx, axis=0)  # [N, 3]
+        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
+        return rgb2spec_eval_soa(rows[:, 0], rows[:, 1], rows[:, 2], lams)
+    if cfg.mode == MODE_MENG:
+        rows = jnp.take(scene.tex_aux, tex_idx, axis=0)  # [N, 12]
+        pidx = rows[:, :6].astype(jnp.int32)  # [N, 6]
+        w = rows[:, 6:]  # [N, 6]
+        meng = tables.meng
+        spec = meng["pts_spectrum"]  # [P, K]
+        n_pts = spec.shape[0]
+        # omega[p, n] = sum_slot w[n, slot] * [pidx[n, slot] == p]
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (n_pts, 1), 0)
+        omega = jnp.zeros((n_pts, tex_idx.shape[0]), jnp.float32)
+        for slot in range(6):
+            omega = omega + jnp.where(
+                iota_p == pidx[:, slot][None, :], w[:, slot][None, :], 0.0
+            )
+        # q[k, n] = sum_p spec[p, k] * omega[p, n]  (MXU)
+        q = jnp.einsum("pk,pn->kn", spec, omega, precision=_HI)
+        # hero-wavelength reconstruction: linear interp over the K bins,
+        # clamped to the table edges (the CIE-2006 extension; see
+        # spectra/upsample_meng.py module docstring)
+        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
+        k_dim = spec.shape[1]
+        x = (lams - meng["lam_min"]) / (meng["lam_max"] - meng["lam_min"]) * (k_dim - 1)
+        x = jnp.clip(x, 0.0, k_dim - 1)
+        wk = hat_weights(x, k_dim)  # [K, S, N]
+        return jnp.sum(q[:, None, :] * wk, axis=0)
+    raise ValueError(f"unsupported mode {cfg.mode!r}")
+
+
 def sample_texture_lrgb(scene: SceneData, st_s, st_t):
     """Clamped nearest-neighbor sRGB texture fetch -> lRGB (reference
     src/material.cpp:66-97: ST -> UV -> index with vertical flip).

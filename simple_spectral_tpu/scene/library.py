@@ -182,6 +182,9 @@ class _Builder:
         assert light_prims, "scene must have at least one light (reference src/scene.cpp:30)"
 
         camera = self._camera()
+        tex_aux = None
+        if self.texture is not None and spectral and cfg.mode in ("jakob", "meng"):
+            tex_aux = self._texel_upsample_aux()
         return SceneData(
             tri_verts=jnp.asarray(tv, jnp.float32),
             tri_st=jnp.asarray(np.asarray(tri_st), jnp.float32),
@@ -202,6 +205,7 @@ class _Builder:
                 if self.texture is not None
                 else None
             ),
+            tex_aux=tex_aux,
             n_tris=len(tri_mat),
             n_prims=len(self.quads),
             n_lights=len(light_prims),
@@ -215,6 +219,41 @@ class _Builder:
 
     def _camera(self) -> Camera:
         raise NotImplementedError
+
+    def _texel_upsample_aux(self):
+        """Precompute per-texel spectral-upsample data (SceneData.tex_aux).
+
+        The reference upsamples each texel on the fly per intersection
+        (reference src/material.cpp:45-64); the position-dependent part of
+        both the Jakob-Hanika cube fetch and the Meng grid walk depends only
+        on the texel's RGB, so it is hoisted to scene build -- the per-bounce
+        device work then needs no table gathers beyond one texel row.
+        """
+        from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb_np
+
+        lrgb = srgb_to_lrgb_np(
+            np.asarray(self.texture, np.float32).reshape(-1, 3) / 255.0
+        )
+        r = jnp.asarray(lrgb[:, 0])
+        g = jnp.asarray(lrgb[:, 1])
+        b = jnp.asarray(lrgb[:, 2])
+        if self.cfg.mode == "jakob":
+            from simple_spectral_tpu.spectra.upsample_jakob import rgb2spec_fetch_soa
+
+            c0, c1, c2 = rgb2spec_fetch_soa(self.tables.jakob, r, g, b)
+            return jnp.stack([c0, c1, c2], axis=-1)  # f32[T, 3]
+        else:  # meng
+            from simple_spectral_tpu.spectra.upsample_meng import (
+                lrgb_to_xyz_meng,
+                meng_cell_weights_soa,
+            )
+
+            x, y, z = lrgb_to_xyz_meng(r, g, b)
+            pidx, w = meng_cell_weights_soa(self.tables.meng, x, y, z)
+            # pack: 6 point ids (exact small ints in f32) + 6 weights
+            return jnp.concatenate(
+                [pidx.T.astype(jnp.float32), w.T], axis=-1
+            )  # f32[T, 12]
 
 
 def _cornell_builder(cfg: RenderConfig, tables: ColorTables) -> _Builder:

@@ -130,7 +130,14 @@ class SceneData:
 
     # Texture (at most one per scene in the reference; sRGB u8, scanlines
     # top-to-bottom as stored by lodepng; reference src/material.cpp:10-29).
-    texture: Any = None  # u8[Ht, Wt, 3] or None
+    texture: Any = None  # u32[Ht*Wt] packed 0xRRGGBB, or None
+
+    # Per-texel spectral-upsample data, precomputed at scene build so the
+    # per-bounce texture albedo needs ONE row gather instead of the mode's
+    # table gathers (Jakob-Hanika: the 8-corner cube fetch; Meng: the whole
+    # grid walk).  jakob: f32[Ht*Wt, 3] sigmoid coefficients.  meng:
+    # f32[Ht*Wt, 12] = 6 grid-point ids (exact ints) + 6 weights.
+    tex_aux: Any = None
 
     n_tris: int = 0
     n_prims: int = 0

@@ -155,6 +155,121 @@ def spectrum_xyz_to_p_soa(meng: dict, x, y, z, lams):
     return jnp.where(ok[None, :], p * ssum[None, :], 0.0)
 
 
+def meng_cell_weights_soa(meng: dict, x, y, z):
+    """Factor the grid evaluation into per-position point weights: returns
+    (pidx i32[6, N], w f32[6, N]) such that
+    ``spectrum_xyz_to_p(lam, xyz) == sum_slot w[slot] * spectrum(pidx[slot], lam)``
+    for every wavelength.  The split is exact because the interpolation
+    weights (bilinear inside, triangle-fan barycentric on the boundary,
+    reference src/meng-et-al.-2015/spectrum_grid.h:75-131) depend only on the
+    chromaticity position, not on lambda -- which lets callers precompute
+    them once per texel and defer all spectral evaluation (SURVEY.md C17).
+    The 1/norm scale (grid.h:134-136) is folded into w."""
+    w_grid = meng["width"]
+    h_grid = meng["height"]
+    ssum = x + y + z
+    norm = 1.0 / ssum
+    valid = norm < FLT_MAX
+
+    xy_x = x * norm
+    xy_y = y * norm
+    m = meng["mat_xy_to_uv"]
+    u = m[0] * xy_x + m[1] * xy_y + m[2]
+    v = m[3] * xy_x + m[4] * xy_y + m[5]
+    valid = valid & (u >= 0.0) & (u < w_grid) & (v >= 0.0) & (v < h_grid)
+
+    u_safe = jnp.clip(jnp.where(valid, u, 0.0), 0.0, w_grid - 1e-4)
+    v_safe = jnp.clip(jnp.where(valid, v, 0.0), 0.0, h_grid - 1e-4)
+    ui = jnp.floor(u_safe).astype(jnp.int32)
+    vi = jnp.floor(v_safe).astype(jnp.int32)
+    cell = ui + w_grid * vi
+
+    inside = jnp.take(meng["grid_inside"], cell, axis=0)
+    num = jnp.take(meng["grid_num"], cell, axis=0)
+
+    pidx_slots, pu_slots, pv_slots = [], [], []
+    for slot in range(6):
+        pidx = jnp.maximum(jnp.take(meng["grid_idx"][:, slot], cell, axis=0), 0)
+        pidx_slots.append(pidx)
+        pu_slots.append(jnp.take(meng["pts_uv"][:, 0], pidx, axis=0))
+        pv_slots.append(jnp.take(meng["pts_uv"][:, 1], pidx, axis=0))
+
+    # inner-cell bilinear weights (vertex layout 2 3 / 0 1, grid.h:75-89)
+    fu = u_safe - ui.astype(jnp.float32)
+    fv = v_safe - vi.astype(jnp.float32)
+    w_in = [
+        (1.0 - fu) * (1.0 - fv),  # slot 0
+        fu * (1.0 - fv),  # slot 1
+        (1.0 - fu) * fv,  # slot 2
+        fu * fv,  # slot 3
+        jnp.zeros_like(fu),
+        jnp.zeros_like(fu),
+    ]
+
+    # boundary cells: triangle fan around idx[0] (grid.h:91-131)
+    def slot_select(slots, k):
+        out = slots[0]
+        for s in range(1, 6):
+            out = jnp.where(k == s, slots[s], out)
+        return out
+
+    ex = u_safe - pu_slots[0]
+    ey = v_safe - pv_slots[0]
+    e_x = [pu_slots[s] - pu_slots[0] for s in range(6)]
+    e_y = [pv_slots[s] - pv_slots[0] for s in range(6)]
+
+    e0x, e0y = e_x[1], e_y[1]
+    uu = e0x * ey - ex * e0y
+    found = jnp.zeros(ex.shape, bool)
+    w_fan = [jnp.zeros_like(fu) for _ in range(6)]
+    for i in range(5):
+        closing = i == (num - 2)
+        nxt = jnp.minimum(i + 2, 5)
+        e1x = jnp.where(closing, e_x[1], slot_select(e_x, nxt))
+        e1y = jnp.where(closing, e_y[1], slot_select(e_y, nxt))
+        vv = ex * e1y - e1x * ey
+        area = e0x * e1y - e1x * e0y
+        area_ok = area != 0.0
+        inv_area = jnp.where(area_ok, 1.0 / jnp.where(area_ok, area, 1.0), 0.0)
+        bu = uu * inv_area
+        bv = vv * inv_area
+        bw = 1.0 - bu - bv
+        in_tri = (bu >= 0.0) & (bv >= 0.0) & (bw >= 0.0) & (i < num - 1)
+        take_this = in_tri & ~found
+        # value = p[0]*bw + p[i+1]*bv + p[closing ? 1 : nxt]*bu (grid.h:112-118)
+        t = take_this
+        w_fan[0] = jnp.where(t, w_fan[0] + bw, w_fan[0])
+        bslot = min(i + 1, 5)
+        w_fan[bslot] = jnp.where(t, w_fan[bslot] + bv, w_fan[bslot])
+        for s in range(6):
+            hit_c = t & (jnp.where(closing, 1, nxt) == s)
+            w_fan[s] = jnp.where(hit_c, w_fan[s] + bu, w_fan[s])
+        found = found | take_this
+        uu = jnp.where(take_this, uu, -vv)
+        e0x = jnp.where(take_this, e0x, e1x)
+        e0y = jnp.where(take_this, e0y, e1y)
+
+    ok = valid & (num > 0)
+    scale = jnp.where(ok, ssum, 0.0)  # p / norm == p * (X+Y+Z)
+    w_out = []
+    for s in range(6):
+        wsel = jnp.where(inside > 0, w_in[s], w_fan[s])
+        w_out.append(wsel * scale)
+    return jnp.stack(pidx_slots), jnp.stack(w_out)
+
+
+def lrgb_to_xyz_meng(r, g, b):
+    """lRGB -> XYZ via Meng's matrix x100 (reference
+    src/util/color.cpp:174-201)."""
+    from simple_spectral_tpu.spectra.colorimetry import MENG_M_RGB_TO_XYZ
+
+    m = MENG_M_RGB_TO_XYZ
+    x = (m[0, 0] * r + m[0, 1] * g + m[0, 2] * b) * 100.0
+    y = (m[1, 0] * r + m[1, 1] * g + m[1, 2] * b) * 100.0
+    z = (m[2, 0] * r + m[2, 1] * g + m[2, 2] * b) * 100.0
+    return x, y, z
+
+
 def lrgb_to_specrefl_meng_soa(tables, cfg: RenderConfig, r, g, b, lam0):
     """lRGB -> hero reflectance via Meng's matrix x100 then the grid
     (reference src/util/color.cpp:174-201).  -> f32[S, N]."""

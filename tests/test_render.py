@@ -138,3 +138,19 @@ def test_gradient_matches_finite_difference():
     # radiance is linear in emission for direct light; near-linear overall
     assert np.isfinite(float(g))
     assert abs(float(g) - float(fd)) <= 2e-2 * max(abs(float(fd)), 1e-6), (float(g), float(fd))
+
+
+@pytest.mark.parametrize("mode", ["rgb", "mallett", "meng", "jakob"])
+def test_cornell_srgb_textured_smoke(mode):
+    """cornell-srgb (textured left wall) in every color pipeline; exercises
+    the per-texel deferred-upsample path (SceneData.tex_aux) end to end."""
+    from simple_spectral_tpu.scene.library import build_scene
+
+    cfg = RenderConfig(scene="cornell-srgb", mode=mode, width=16, height=16, spp=4)
+    tables = build_color_tables(cfg)
+    scene = build_scene(cfg, tables)
+    value, alpha = render_accumulate(cfg, scene, tables)
+    v = np.asarray(value)
+    assert np.isfinite(v).all()
+    assert v.max() > 1e-4  # something was lit
+    assert np.asarray(alpha).mean() > 0.9  # mostly hits (closed box)

@@ -204,3 +204,40 @@ def test_jakob_black_is_zero(tables_jakob):
     )
     out = np.asarray(rgb2spec_eval_soa(c0, c1, c2, jnp.full((4, 1), 550.0)))
     assert np.allclose(out, 0.0, atol=1e-6)
+
+
+def test_meng_deferred_weights_match_direct(tables_meng, rng):
+    """The factored form (meng_cell_weights_soa: position -> 6 point ids +
+    weights, used for the precomputed per-texel tables) must reproduce the
+    direct grid evaluation exactly, for every wavelength."""
+    from simple_spectral_tpu.spectra.upsample_meng import meng_cell_weights_soa
+
+    meng = tables_meng.meng
+    n = 2048
+    xyz = rng.uniform(0.0, 120.0, (n, 3)).astype(np.float32)
+    lam = rng.uniform(380.0, 780.0, (4, n)).astype(np.float32)
+    x, y, z = (jnp.asarray(xyz[:, i]) for i in range(3))
+    direct = np.asarray(spectrum_xyz_to_p_soa(meng, x, y, z, jnp.asarray(lam)))
+
+    pidx, w = meng_cell_weights_soa(meng, x, y, z)
+    spec = meng["pts_spectrum"]
+    k_dim = spec.shape[1]
+    # evaluate each slot's point spectrum at lam with the same clamped
+    # linear reconstruction used by the direct path
+    sb = (jnp.asarray(lam) - meng["lam_min"]) / (meng["lam_max"] - meng["lam_min"]) * (
+        k_dim - 1
+    )
+    sb = jnp.clip(sb, 0.0, k_dim - 1)
+    sb0 = jnp.floor(sb).astype(jnp.int32)
+    sb1 = jnp.minimum(sb0 + 1, k_dim - 1)
+    sbf = sb - sb0.astype(jnp.float32)
+    spec_flat = spec.reshape(-1)
+    recon = jnp.zeros((4, n), jnp.float32)
+    for slot in range(6):
+        base = pidx[slot] * k_dim
+        p0 = jnp.take(spec_flat, base[None, :] + sb0, axis=0)
+        p1 = jnp.take(spec_flat, base[None, :] + sb1, axis=0)
+        recon = recon + w[slot][None, :] * (p0 * (1.0 - sbf) + p1 * sbf)
+    recon = np.asarray(recon)
+    err = np.abs(recon - direct) / np.maximum(np.abs(direct), 1e-3)
+    assert err.max() < 1e-3, f"max rel err {err.max()}"
