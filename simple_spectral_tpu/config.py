@@ -55,6 +55,10 @@ class RenderConfig:
     # Max path-state lanes resident per integrator step; the renderer tiles
     # (pixels x spp) into chunks of at most this many lanes.
     max_lanes: int = 1 << 21
+    # Closest-hit sweep implementation: "auto" picks the Pallas MXU kernel on
+    # TPU and the XLA [T, N] formulation elsewhere (render/intersect_pallas.py
+    # vs render/intersect.py); "xla" / "pallas" force one.
+    intersect_impl: str = "auto"
     # Texture used by cornell-srgb / plane-srgb.  The reference points at a
     # 4096^2 texture missing from its own checkout (reference
     # src/scene.cpp:292 and .MISSING_LARGE_BLOBS); the in-repo 512^2 texture
@@ -70,6 +74,8 @@ class RenderConfig:
             raise ValueError("n_wavelengths must be >= 1")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
+        if self.intersect_impl not in ("auto", "xla", "pallas"):
+            raise ValueError("intersect_impl must be auto | xla | pallas")
         # The reference refuses non-"Ours" + CIE 2006 at compile time
         # (src/stdafx.hpp:107-109).  We *support* it (documented extension):
         # meng/jakob table coverage is clamped to their fitted range.

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from simple_spectral_tpu.config import RenderConfig
-from simple_spectral_tpu.render.intersect import intersect_rays_soa
+from simple_spectral_tpu.render.intersect import intersect_rays_dispatch
 from simple_spectral_tpu.render.sampling import (
     rand_toward_spherical_triangle,
     spherical_triangle,
@@ -210,7 +210,7 @@ def trace_lanes(
         kd = jax.random.fold_in(k_scan, depth)
         k_nee, k_bsdf = jax.random.split(kd)
 
-        rec = intersect_rays_soa(scene, o, d, ignore, cfg.eps)
+        rec = intersect_rays_dispatch(scene, o, d, ignore, cfg.eps, impl=cfg.intersect_impl)
         live_hit = alive & rec.hit
         camera_hit = camera_hit | (live_hit & (depth == 0))
         emit_w = emission_gate(live_hit, depth).astype(jnp.float32)
@@ -227,8 +227,9 @@ def trace_lanes(
             nee_gate = live_hit & (n_dot_l > 0.0)
             if cfg.indirect_only:
                 nee_gate = nee_gate & (depth > 0)
-            shad_rec = intersect_rays_soa(
-                scene, hit_pos, shad_d, rec.prim, cfg.eps, need_attrs=False
+            shad_rec = intersect_rays_dispatch(
+                scene, hit_pos, shad_d, rec.prim, cfg.eps,
+                need_attrs=False, impl=cfg.intersect_impl,
             )
             nee_gate = nee_gate & (shad_rec.prim == light_prim)
             nee_w = jnp.where(nee_gate, n_dot_l * inv_pdf, 0.0)
@@ -277,7 +278,9 @@ def trace_lanes(
         carry, recs = init, None
     # final depth: emission only (no NEE, no bounce, no attribute pickup)
     (o, d, ignore, alive, camera_hit) = carry
-    rec = intersect_rays_soa(scene, o, d, ignore, cfg.eps, need_attrs=False)
+    rec = intersect_rays_dispatch(
+        scene, o, d, ignore, cfg.eps, need_attrs=False, impl=cfg.intersect_impl
+    )
     live_hit = alive & rec.hit
     camera_hit = camera_hit | (live_hit & (cfg.max_depth == 1))
     last_depth = jnp.int32(cfg.max_depth - 1)

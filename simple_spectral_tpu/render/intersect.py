@@ -172,6 +172,123 @@ def intersect_rays_soa(
     )
 
 
+def resolve_intersect_impl(impl: str) -> str:
+    """'auto' -> the Pallas MXU kernel on TPU, the XLA [T, N] sweep elsewhere
+    (Pallas TPU kernels do not run on the CPU backend outside interpret
+    mode).  Resolution happens at trace time -- impl is part of the static
+    RenderConfig, so each backend compiles its own program."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def intersect_rays_pallas(
+    scene: SceneData,
+    o: V3,
+    d: V3,
+    ignore_prim: jnp.ndarray,
+    eps: float,
+    need_attrs: bool = True,
+    interpret: bool = False,
+) -> HitRecord:
+    """Closest-hit via the Pallas MXU kernel + thin attribute recovery.
+
+    The kernel (render/intersect_pallas.py) returns one packed int32 key per
+    lane; this wrapper unpacks the winning triangle index and re-runs the
+    watertight test (reference src/geometry.cpp:12-101) for that SINGLE
+    triangle per lane -- a handful of gathers + VPU math in thin straight-line
+    context -- recovering the exact distance (the packed key quantizes
+    idx_bits low mantissa bits away) and the scaled barycentrics for ST
+    interpolation.  Semantics match intersect_rays_soa; near-ties within the
+    key quantization may resolve to a different (coplanar-equivalent)
+    triangle, which converged-image parity absorbs.
+    """
+    from simple_spectral_tpu.render.intersect_pallas import (
+        INF_BITS,
+        intersect_best_key,
+        key_idx_mask,
+    )
+
+    best_key = intersect_best_key(
+        scene.tri_verts, scene.tri_prim, o, d, ignore_prim, eps, interpret=interpret
+    )
+    idx_mask = key_idx_mask(scene.tri_verts.shape[0])
+    hit = best_key < INF_BITS
+    tri = jnp.where(hit, best_key & idx_mask, 0).astype(jnp.int32)
+    prim = jnp.where(hit, jnp.take(scene.tri_prim, tri), -1)
+    mat = jnp.where(hit, jnp.take(scene.tri_mat, tri), 0)
+
+    if not need_attrs:
+        # Shadow/final-emission rays read only (hit, prim, mat); return the
+        # key's quantized distance rather than paying the recompute.
+        dist_q = jax.lax.bitcast_convert_type(best_key & ~idx_mask, jnp.float32)
+        dist = jnp.where(hit, dist_q, INF)
+        zero = jnp.zeros_like(dist)
+        return HitRecord(
+            hit=hit, dist=dist, tri=tri, prim=prim, mat=mat,
+            normal=V3(zero, zero, zero), st_s=zero, st_t=zero,
+        )
+
+    # --- attribute recovery: one winning triangle per lane ---
+    kx, ky, kz, dz = _pick_axes(d)
+    inv_dz = 1.0 / dz
+    sx = select3(kx, d.x, d.y, d.z) * inv_dz
+    sy = select3(ky, d.x, d.y, d.z) * inv_dz
+    sz = inv_dz
+    tv = jnp.take(scene.tri_verts, tri, axis=0)  # f32[N, 3, 3]
+
+    def sheared(vert):
+        rx = tv[:, vert, 0] - o.x
+        ry = tv[:, vert, 1] - o.y
+        rz = tv[:, vert, 2] - o.z
+        r_kx = select3(kx, rx, ry, rz)
+        r_ky = select3(ky, rx, ry, rz)
+        r_kz = select3(kz, rx, ry, rz)
+        return r_kx - sx * r_kz, r_ky - sy * r_kz, r_kz
+
+    ax_a, ay_a, az_a = sheared(0)
+    ax_b, ay_b, az_b = sheared(1)
+    ax_c, ay_c, az_c = sheared(2)
+    u = ay_b * ax_c - ax_b * ay_c
+    v = ay_c * ax_a - ax_c * ay_a
+    w = ay_a * ax_b - ax_a * ay_b
+    det = u + v + w
+    t_scaled = sz * (u * az_a + v * az_b + w * az_c)
+    safe_det = jnp.where(det != 0.0, det, 1.0)
+    # The kernel only reports triangles with |det| > eps and dist >= eps, so
+    # dist is well-defined wherever hit; guard miss lanes anyway.
+    dist = jnp.where(hit & (det != 0.0), t_scaled / safe_det, INF)
+
+    normal = V3(
+        jnp.take(scene.tri_normal[:, 0], tri),
+        jnp.take(scene.tri_normal[:, 1], tri),
+        jnp.take(scene.tri_normal[:, 2], tri),
+    )
+    st = jnp.take(scene.tri_st, tri, axis=0)  # f32[N, 3, 2]
+    inv_det = jnp.where(det != 0.0, 1.0 / safe_det, 0.0)
+    st_s = (u * st[:, 0, 0] + v * st[:, 1, 0] + w * st[:, 2, 0]) * inv_det
+    st_t = (u * st[:, 0, 1] + v * st[:, 1, 1] + w * st[:, 2, 1]) * inv_det
+    return HitRecord(
+        hit=hit, dist=dist, tri=tri, prim=prim, mat=mat,
+        normal=normal, st_s=st_s, st_t=st_t,
+    )
+
+
+def intersect_rays_dispatch(
+    scene: SceneData,
+    o: V3,
+    d: V3,
+    ignore_prim: jnp.ndarray,
+    eps: float,
+    need_attrs: bool = True,
+    impl: str = "auto",
+) -> HitRecord:
+    """Route the closest-hit sweep to the configured implementation."""
+    if resolve_intersect_impl(impl) == "pallas":
+        return intersect_rays_pallas(scene, o, d, ignore_prim, eps, need_attrs)
+    return intersect_rays_soa(scene, o, d, ignore_prim, eps, need_attrs)
+
+
 def intersect_rays(scene, ray_orig, ray_dir, ignore_prim, eps: float):
     """Row-vector convenience wrapper: f32[N,3] origins/dirs in, HitRecord
     out (normal as V3).  Prefer intersect_rays_soa in hot code."""

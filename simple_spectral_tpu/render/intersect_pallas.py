@@ -29,8 +29,9 @@ quad's own diagonal, where both halves are coplanar and equivalent).
 
 The kernel returns only ``best_key`` i32[N]; hit attributes are recomputed
 for the single winning triangle per lane in thin jnp context (fast gathers)
-by the caller -- see intersect.py.  Nothing here is differentiated: path
-geometry is constant w.r.t. the material tables (SURVEY.md section 7.5).
+by the caller -- intersect.intersect_rays_pallas.  Nothing here is
+differentiated: path geometry is constant w.r.t. the material tables
+(SURVEY.md section 7.5).
 """
 
 from __future__ import annotations
@@ -113,9 +114,14 @@ def _kernel(rays_ref, ign_ref, v_ref, prim_ref, out_ref, *, t_pad, idx_mask, eps
         return p[0][alpha] * ox + p[1][alpha] * oy + p[2][alpha] * oz
 
     v = v_ref[:]  # [3*T_pad, 8]
+    # precision=HIGHEST: full-f32 MXU passes.  The default (single bf16 pass)
+    # loses 16 mantissa bits of the projected vertex coordinates, which flips
+    # edge/graze validity on ~0.1% of Monte-Carlo rays vs the VPU reference
+    # (measured on v5e); the exact passes cost nothing at K=8.
     proj = [
         jax.lax.dot_general(
-            v, pmat(a), (((1,), (0,)), ((), ())), preferred_element_type=f32
+            v, pmat(a), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
         )
         - odot(a)
         for a in range(3)
@@ -137,7 +143,14 @@ def _kernel(rays_ref, ign_ref, v_ref, prim_ref, out_ref, *, t_pad, idx_mask, eps
     t_scaled = sz * (u * az_a + vv * az_b + w * az_c)
     same_sign = (det < 0.0) == (t_scaled < 0.0)
     dist = t_scaled / det
-    valid = inside & ok_det & same_sign & (dist >= eps) & (prim_ref[:] != ign)
+    # prim >= 0 explicitly kills padded rows: their three projected vertices
+    # coincide, and FMA contraction of u = ay_b*ax_c - ax_b*ay_c leaves a
+    # tiny rounding residual instead of an exact 0, which can push |det|
+    # past eps and fabricate a hit (observed in both interpret and TPU runs).
+    valid = (
+        inside & ok_det & same_sign & (dist >= eps)
+        & (prim_ref[:] != ign) & (prim_ref[:] >= 0)
+    )
     dist = jnp.where(valid, dist, jnp.inf)
 
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, dist.shape[1]), 0)
