@@ -8,7 +8,10 @@ chained-timing harness (tools/tpu_bench.py).
 Usage: python tools/check_pallas_tpu.py [parity|perf|all]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
