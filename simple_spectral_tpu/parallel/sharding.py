@@ -204,10 +204,16 @@ def sharded_loss_and_grad(
         loss, grads = jax.value_and_grad(local_loss)(params)
         # Pixel shards are disjoint -> total loss = psum over dp (the sp
         # replicas already agree after the forward psum).  Gradients: each
-        # (dp, sp) shard's cotangent covers only its own samples, so grads
-        # all-reduce over BOTH axes.
+        # (dp, sp) shard's backward covers only its own samples' path, BUT
+        # the transpose of the forward sp-psum re-broadcasts the cotangent of
+        # mean_v from every sp replica's (identical) local loss, so each
+        # shard's grad already carries a factor sp; the all-reduce over both
+        # axes must divide it back out.  (Caught by the dryrun's
+        # single-device emulation check: grads were exactly sp x too large.)
         loss = jax.lax.psum(loss, "dp")
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, ("dp", "sp")), grads)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("dp", "sp")) / sp, grads
+        )
         return loss, grads
 
     shard = jax.shard_map(
@@ -218,3 +224,47 @@ def sharded_loss_and_grad(
         check_vma=False,
     )
     return shard(params0, px_flat, target)
+
+
+def emulated_loss_and_grad(
+    scene: SceneData,
+    tables: ColorTables,
+    cfg: RenderConfig,
+    dp: int,
+    sp: int,
+    key,
+    px_flat,
+    target,
+    spp: int,
+):
+    """Single-device re-computation of :func:`sharded_loss_and_grad`'s exact
+    value: same per-(dp, sp)-shard fold_in RNG streams, same reduction
+    structure, no mesh.  The multichip dryrun asserts the sharded program
+    equals this to f32 reduction-order tolerance -- a value-correctness
+    check, not a sanity check."""
+    import dataclasses
+
+    n = px_flat.shape[0]
+    per = n // dp
+    DIFF_FIELDS = ("albedo_values", "emission_values", "albedo_rgb", "emission_rgb")
+    params0 = {f: getattr(scene.materials, f) for f in DIFF_FIELDS}
+
+    def total_loss(params):
+        mats = dataclasses.replace(scene.materials, **params)
+        s2 = dataclasses.replace(scene, materials=mats)
+        loss = jnp.float32(0.0)
+        for di in range(dp):
+            px_ = jax.lax.dynamic_slice_in_dim(px_flat, di * per, per)
+            tgt_ = jax.lax.dynamic_slice_in_dim(target, di * per, per)
+            px_i, px_j = px_ % cfg.width, px_ // cfg.width
+            sum_v = jnp.zeros((per, 3), jnp.float32)
+            for si in range(sp):
+                kshard = jax.random.fold_in(jax.random.fold_in(key, di), si)
+                for k in jax.random.split(kshard, spp // sp):
+                    res = trace_lanes(s2, tables, cfg, k, px_i, px_j)
+                    sum_v = sum_v + res.value
+            mean_v = sum_v / spp
+            loss = loss + jnp.sum((mean_v - tgt_) ** 2) / (3.0 * n)
+        return loss
+
+    return jax.value_and_grad(total_loss)(params0)

@@ -173,12 +173,19 @@ def intersect_rays_soa(
 
 
 def resolve_intersect_impl(impl: str) -> str:
-    """'auto' -> the Pallas MXU kernel on TPU, the XLA [T, N] sweep elsewhere
-    (Pallas TPU kernels do not run on the CPU backend outside interpret
-    mode).  Resolution happens at trace time -- impl is part of the static
-    RenderConfig, so each backend compiles its own program."""
+    """'auto' -> the XLA [T, N] sweep on every backend.
+
+    Measured on v5e (tools/bench_intersect_micro.py, 262144 rays, cornell's
+    38 tris): the XLA sweep runs at 826 Mrays/s vs 287 for the Pallas MXU
+    best-key kernel alone -- at T=38 the kernel is DMA/epilogue-bound and the
+    fat [T, N] VPU sweep is simply fast -- and the wrapper's per-lane
+    attribute gathers collapse to 10 Mrays/s.  Intersection is ~14% of the
+    full forward step, so 'auto' stays on XLA until scenes grow enough tris
+    for the MXU projection to dominate; 'pallas' remains selectable and
+    parity-tested (tests/test_intersect_pallas.py, tools/check_pallas_tpu.py).
+    """
     if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return "xla"
     return impl
 
 
