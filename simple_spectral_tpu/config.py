@@ -55,10 +55,16 @@ class RenderConfig:
     # Max path-state lanes resident per integrator step; the renderer tiles
     # (pixels x spp) into chunks of at most this many lanes.
     max_lanes: int = 1 << 21
-    # Closest-hit sweep implementation: "auto" picks the Pallas MXU kernel on
-    # TPU and the XLA [T, N] formulation elsewhere (render/intersect_pallas.py
-    # vs render/intersect.py); "xla" / "pallas" force one.
+    # Closest-hit sweep implementation: "auto" resolves by measurement --
+    # currently the XLA [T, N] formulation on every backend (826 vs 287
+    # Mrays/s against the Pallas MXU kernel at cornell's 38 triangles; see
+    # render/intersect.py resolve_intersect_impl).  "xla" / "pallas" force
+    # one (render/intersect.py vs render/intersect_pallas.py).
     intersect_impl: str = "auto"
+    # Rematerialize the per-lane material-spectra cache in the backward sweep
+    # (jax.checkpoint around precompute_constant_spectra): trades a cheap
+    # recompute for not saving the [K, M, S, N] hat-weight residuals.
+    remat_cache: bool = True
     # Texture used by cornell-srgb / plane-srgb.  The reference points at a
     # 4096^2 texture missing from its own checkout (reference
     # src/scene.cpp:292 and .MISSING_LARGE_BLOBS); the in-repo 512^2 texture

@@ -5,13 +5,22 @@ is a tile queue over std::thread).  This layer scales the same static-shard
 design across *hosts*: every process calls :func:`init_distributed`, builds
 the SAME global ``Mesh(("dp", "sp"))`` over ``jax.devices()`` (all chips of
 all hosts -- dp is laid out host-major so a dp shard's pixels stay on one
-host's chips and the sp-psum rides ICI, never DCN), renders its
-addressable shard of the pixel grid, and host 0 assembles the image with an
+host's chips and the sp-psum rides ICI, never DCN), renders its devices'
+shards of the pixel grid, and every host assembles the full image with an
 all-gather over DCN.
 
+Work distribution: the pixel-id array is tiny (one i32 per pixel), so every
+process materializes it fully and ``jax.make_array_from_process_local_data``
+with ``global_shape == local.shape`` hands each *device* exactly its own dp
+slice -- each host's chips render only their rows (full-array semantics:
+identical host copies, disjoint device shards).  The heavy objects (scene,
+tables) are replicated, matching SURVEY.md section 5.
+
 Testing without a pod: every function here takes the mesh/process topology
-from jax itself, so the single-process test path (8 virtual CPU devices,
-``process_count == 1``) executes the identical code; the driver's
+from jax itself, so the single-process path (8 virtual CPU devices) executes
+the identical chunk loop (tests/test_multihost.py asserts equality with
+render_accumulate_sharded), and a real 2-process CPU cluster exercises the
+DCN path (tests/test_multihost.py::test_two_process_cpu).  The driver's
 ``dryrun_multichip`` additionally asserts numeric equality of the sharded
 loss/grads against a single-device emulation.
 
@@ -37,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from simple_spectral_tpu.config import RenderConfig
-from simple_spectral_tpu.parallel.sharding import make_mesh, sharded_sample_sums
+from simple_spectral_tpu.parallel.sharding import _sharded_chunk, make_mesh
 from simple_spectral_tpu.scene.types import SceneData
 from simple_spectral_tpu.spectra.colorimetry import ColorTables
 
@@ -76,16 +85,16 @@ def global_mesh(sp: int = 1):
     return make_mesh(jax.devices(), sp=sp)
 
 
-def host_pixel_slice(n_px: int, dp: int) -> tuple[int, int]:
-    """This process's contiguous pixel range under a dp-sharded pixel axis.
+def _make_global(sharding, local: np.ndarray):
+    """Wrap identical per-host data as a global dp-sharded array.
 
-    Pixels are padded to dp * per-shard counts elsewhere; the host owns the
-    rows of the dp axis that live on its addressable devices.
-    """
-    pc = jax.process_count()
-    pi = jax.process_index()
-    per = (n_px + pc - 1) // pc
-    return pi * per, min((pi + 1) * per, n_px)
+    ``global_shape == local.shape`` selects full-array semantics: every
+    process holds the same host copy, and each device receives exactly its
+    own slice under ``sharding`` -- so multi-host work is disjoint by
+    construction (each host's chips render only their dp rows)."""
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=local.shape
+    )
 
 
 def render_accumulate_multihost(
@@ -96,43 +105,52 @@ def render_accumulate_multihost(
     seed: int = 0,
 ):
     """Mesh-parallel render across all hosts; every process returns the FULL
-    (value f64[H, W, 3], alpha f64[H, W]) image (replicated via allgather).
+    (value f64[H, W, 3], alpha f64[H, W]) image (assembled via allgather).
 
-    Single-process (any device count) this is render_accumulate_sharded with
-    a global mesh.  Multi-process, each host feeds only its addressable
-    shards (jax.make_array_from_process_local_data) and the final assembly
-    all-gathers over DCN.
+    Single-process (any device count) this is render_accumulate_sharded's
+    chunk loop on a global mesh; multi-process, inputs are fed as global
+    dp-sharded arrays (each host's devices get their own rows) and outputs
+    are all-gathered over DCN per chunk.  Pixels chunk by cfg.max_lanes
+    exactly as the single-host path, so 512^2 @ 64 spp scales without OOM.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     mesh = global_mesh(sp=sp)
     dp = mesh.shape["dp"]
     w, h, spp = cfg.width, cfg.height, cfg.spp
     n_px = w * h
-    pad = (-n_px) % dp
-    px_all = np.arange(n_px + pad, dtype=np.int32)
-    px_all[n_px:] = 0  # padded lanes render pixel 0; dropped below
+    key = jax.random.PRNGKey(seed)
+    multi = jax.process_count() > 1
+    sharding = NamedSharding(mesh, P("dp"))
 
-    if jax.process_count() == 1:
-        px = jnp.asarray(px_all)
-    else:
-        from jax.experimental import multihost_utils
+    lanes_per_dev = max(1, cfg.max_lanes // max(spp // mesh.shape["sp"], 1))
+    px_per_chunk = min(n_px, lanes_per_dev * dp)
+    px_per_chunk -= px_per_chunk % dp or 0
 
-        sharding = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec("dp")
-        )
-        px = jax.make_array_from_process_local_data(sharding, px_all)
-        del multihost_utils
-
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
-    sum_v, sum_a = jax.jit(
-        lambda px_: sharded_sample_sums(scene, tables, cfg, mesh, key, px_, spp)
-    )(px)
-
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        sum_v = multihost_utils.process_allgather(sum_v, tiled=True)
-        sum_a = multihost_utils.process_allgather(sum_a, tiled=True)
-
-    value = np.asarray(sum_v, np.float64)[:n_px] / spp
-    alpha = np.asarray(sum_a, np.float64)[:n_px] / spp
+    value = np.zeros((n_px, 3), np.float64)
+    alpha = np.zeros((n_px,), np.float64)
+    n_chunks = (n_px + px_per_chunk - 1) // px_per_chunk
+    for c in range(n_chunks):
+        lo = c * px_per_chunk
+        hi = min(lo + px_per_chunk, n_px)
+        px_np = np.arange(lo, hi, dtype=np.int32)
+        n_real = px_np.shape[0]
+        pad = (-n_real) % dp
+        if pad:
+            px_np = np.concatenate([px_np, np.zeros(pad, np.int32)])
+        px = _make_global(sharding, px_np) if multi else jnp.asarray(px_np)
+        ck = jax.random.fold_in(key, c)
+        sum_v, sum_a = _sharded_chunk(scene, tables, cfg, ck, px, mesh=mesh, spp=spp)
+        if multi:
+            # dp shards live on their owning hosts' devices; re-jit into a
+            # fully-replicated sharding -- XLA inserts the all-gather (ICI
+            # within a host, DCN across hosts) -- so every process can read
+            # the whole chunk
+            replicate = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(mesh, P())
+            )
+            sum_v = replicate(sum_v).addressable_data(0)
+            sum_a = replicate(sum_a).addressable_data(0)
+        value[lo:hi] = np.asarray(sum_v, np.float64)[:n_real] / spp
+        alpha[lo:hi] = np.asarray(sum_a, np.float64)[:n_real] / spp
     return value.reshape(h, w, 3), alpha.reshape(h, w)

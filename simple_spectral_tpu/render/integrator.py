@@ -176,13 +176,14 @@ def trace_lanes(
         lam0 = jnp.zeros((n,), jnp.float32)
 
     # material spectra depend only on lam0: evaluated once, reused per bounce.
-    # jax.checkpoint: the hat-weight tensors ([K, M, S, N]) linking the
-    # material tables to per-lane hero samples would otherwise be saved as AD
-    # residuals -- 12 GB of HBM per 4-spp chunk at 2^18 lanes; recomputing
-    # them in the backward sweep is a few VPU ops per element.
-    cache = jax.checkpoint(
-        lambda s, l: precompute_constant_spectra(s, cfg, l), static_argnums=()
-    )(scene, lam0)
+    # jax.checkpoint (cfg.remat_cache): the hat-weight tensors ([K, M, S, N])
+    # linking the material tables to per-lane hero samples would otherwise be
+    # saved as AD residuals -- 12 GB of HBM per 4-spp chunk at 2^18 lanes;
+    # recomputing them in the backward sweep is a few VPU ops per element.
+    precompute = lambda s, l: precompute_constant_spectra(s, cfg, l)
+    if cfg.remat_cache:
+        precompute = jax.checkpoint(precompute, static_argnums=())
+    cache = precompute(scene, lam0)
     if cfg.spectral and cfg.mode == "mallett" and scene.texture is not None:
         # texture upsample basis, also lam0-only (see precompute_basis_hero)
         cache["basis_hero"] = precompute_basis_hero(tables, cfg, lam0)

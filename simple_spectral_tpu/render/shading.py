@@ -26,7 +26,7 @@ from simple_spectral_tpu.config import (
     RenderConfig,
 )
 from simple_spectral_tpu.render.vec import V3
-from simple_spectral_tpu.scene.types import ALBEDO_TEXTURE, BSDF_MIRROR, SceneData
+from simple_spectral_tpu.scene.types import BSDF_MIRROR, SceneData
 from simple_spectral_tpu.spectra.colorimetry import ColorTables
 
 PI = 3.14159265358979323846
@@ -49,19 +49,6 @@ def select_column(column, mat, n_materials: int):
 
 
 from simple_spectral_tpu.spectra.spectrum import hat_weights, hero_lams_soa as hero_lams
-
-
-def sample_rows_hero(rows, low, inv_step, lam0, n_wavelengths: int, lambda_step: float):
-    """rows: f32[K, N] per-lane spectrum; low/inv_step: f32[N] -> f32[S, N]."""
-    lams = hero_lams(lam0, n_wavelengths, lambda_step)  # [S, N]
-    x = (lams - low[None, :]) * inv_step[None, :]
-    w = hat_weights(x, rows.shape[0])  # [K, S, N]
-    return jnp.sum(rows[:, None, :] * w, axis=0)
-
-
-def material_rows(values, oh):
-    """values: f32[M, K]; oh: f32[M, N] -> per-lane rows f32[K, N]."""
-    return jnp.einsum("mk,mn->kn", values, oh, precision=_HI)
 
 
 def precompute_constant_spectra(scene: SceneData, cfg: RenderConfig, lam0):
@@ -103,14 +90,6 @@ def precompute_basis_hero(tables: ColorTables, cfg: RenderConfig, lam0):
     return jnp.einsum("ck,ksn->csn", tables.basis_values, w, precision=_HI)
 
 
-def evaluate_emission_cached(scene: SceneData, cfg: RenderConfig, cache, oh):
-    """Emitted radiance sample, direction-independent (reference
-    src/material.hpp:101-108).  oh: f32[M, N] one-hot -> f32[S, N]."""
-    if cfg.spectral:
-        return jnp.einsum("msn,mn->sn", cache["emission"], oh, precision=_HI)
-    return jnp.einsum("mc,mn->cn", scene.materials.emission_rgb, oh, precision=_HI)
-
-
 def texel_index(scene: SceneData, st_s, st_t):
     """Clamped nearest-neighbor ST -> flat texel index with vertical flip
     (reference src/material.cpp:66-97), as pure int math for the geometry
@@ -122,10 +101,17 @@ def texel_index(scene: SceneData, st_s, st_t):
 
 
 def texel_fetch_lrgb(scene: SceneData, tex_idx):
-    """Fetch packed texels at precomputed flat indices -> linear RGB
+    """Fetch packed sRGB texels at precomputed flat indices -> linear RGB
     (r, g, b) f32[N] (reference src/material.cpp:45-64 pipeline: sRGB u8 ->
-    f32 -> srgb_to_lrgb).  The texture ships pre-packed as one u32 per texel
-    (scene.types packs 0xRRGGBB) so this is a single gather."""
+    f32 -> srgb_to_lrgb).
+
+    Layout choice is measured (tools/bench_gather_micro.py, v5e): TPU random
+    gathers cost ~7 ns per *index* regardless of fusion context (an
+    optimization_barrier changes nothing), and scale with row width (f32[T,3]
+    rows cost ~1.5x a u32[T] gather), while the pow-gamma decode is fully
+    hidden behind the gather.  So the texture ships as ONE packed u32 per
+    texel (scene.types packs 0xRRGGBB) -- one narrow gather -- and the exact
+    sRGB decode stays on device for free."""
     from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb
 
     packed = jnp.take(scene.texture, tex_idx, axis=0)
@@ -138,7 +124,7 @@ def texel_fetch_lrgb(scene: SceneData, tex_idx):
 
 def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, tex_idx, lam0):
     """Per-bounce textured-albedo evaluation for the shading phase: one texel
-    row gather + dense math, per color pipeline.
+    gather + dense math, per color pipeline.
 
     - rgb:      packed-u32 gather -> lRGB                      -> f32[3, N]
     - mallett:  packed-u32 gather, refl = r R + g G + b B with the basis
@@ -148,10 +134,11 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
     - meng:     f32[T,12] row gather of precomputed (point ids, weights);
                 spectra contraction over grid points on the MXU, then a hat
                 contraction to the per-lane hero wavelengths
-    All table gathers beyond the single texel row are eliminated -- XLA's
-    TPU gather costs ~7 ns per index, so the reference's per-hit grid/cube
-    walks (reference src/util/color.cpp:166-235) are the wrong shape for
-    this hardware.
+    All per-hit table walks are hoisted to scene build (the texture is
+    static; reference src/util/color.cpp:166-235 and src/material.cpp:45-64
+    redo them per hit) -- only one texel gather and the hero-wavelength
+    evaluation remain on the hot path, and the gather's ~7 ns/index
+    (tools/bench_gather_micro.py) is the floor for this op on TPU.
     """
     if not cfg.spectral:
         r, g, b = texel_fetch_lrgb(scene, tex_idx)
@@ -163,11 +150,11 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
     if cfg.mode == MODE_JAKOB:
         from simple_spectral_tpu.spectra.upsample_jakob import rgb2spec_eval_soa
 
-        rows = jnp.take(scene.tex_aux, tex_idx, axis=0)  # [N, 3]
+        rows = jnp.take(scene.texture, tex_idx, axis=0)  # [N, 3]
         lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
         return rgb2spec_eval_soa(rows[:, 0], rows[:, 1], rows[:, 2], lams)
     if cfg.mode == MODE_MENG:
-        rows = jnp.take(scene.tex_aux, tex_idx, axis=0)  # [N, 12]
+        rows = jnp.take(scene.texture, tex_idx, axis=0)  # [N, 12]
         pidx = rows[:, :6].astype(jnp.int32)  # [N, 6]
         w = rows[:, 6:]  # [N, 6]
         meng = tables.meng
@@ -192,86 +179,6 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
         wk = hat_weights(x, k_dim)  # [K, S, N]
         return jnp.sum(q[:, None, :] * wk, axis=0)
     raise ValueError(f"unsupported mode {cfg.mode!r}")
-
-
-def sample_texture_lrgb(scene: SceneData, st_s, st_t):
-    """Clamped nearest-neighbor sRGB texture fetch -> lRGB (reference
-    src/material.cpp:66-97: ST -> UV -> index with vertical flip).
-    Returns (r, g, b) f32[N] in *linear* RGB.
-
-    The texture ships pre-packed as one u32 per texel (scene.types packs
-    0xRRGGBB) so the random-access fetch is a single gather instead of
-    three -- gathers dominate the textured-scene profile on TPU."""
-    from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb
-
-    tex = scene.texture  # u32[H*W] packed 0xRRGGBB, scanlines top-to-bottom
-    w, h = scene.tex_res
-    i = jnp.clip(jnp.floor(st_s * w).astype(jnp.int32), 0, w - 1)
-    j = jnp.clip(jnp.floor(h - st_t * h).astype(jnp.int32), 0, h - 1)
-    packed = jnp.take(tex, j * w + i, axis=0)
-    scale = 1.0 / 255.0
-    r = ((packed >> 16) & 0xFF).astype(jnp.float32) * scale
-    g = ((packed >> 8) & 0xFF).astype(jnp.float32) * scale
-    b = (packed & 0xFF).astype(jnp.float32) * scale
-    return srgb_to_lrgb(r), srgb_to_lrgb(g), srgb_to_lrgb(b)
-
-
-def lrgb_to_specrefl_soa(
-    tables: ColorTables, cfg: RenderConfig, r, g, b, lam0, basis_hero=None
-):
-    """Mode dispatch of the paper's central operation: lRGB -> hero-sampled
-    reflectance f32[S, N] (reference src/util/color.cpp:166-235).
-
-    ``basis_hero`` (f32[3, S, N], from precompute_basis_hero) short-circuits
-    the Mallett path to refl = r*R(hero) + g*G(hero) + b*B(hero) -- the
-    decomposition is linear in lRGB, so this is exact."""
-    if cfg.mode == MODE_MALLETT:
-        if basis_hero is not None:
-            return (
-                basis_hero[0] * r[None, :]
-                + basis_hero[1] * g[None, :]
-                + basis_hero[2] * b[None, :]
-            )
-        # basisdot[k, n] = sum_c basis[c, k] * rgb_c[n]; then hat-contract.
-        rgb = jnp.stack([r, g, b])  # [3, N]
-        basisdot = jnp.einsum("ck,cn->kn", tables.basis_values, rgb, precision=_HI)
-        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
-        x = (lams - tables.basis_low) * tables.basis_inv_step
-        w = hat_weights(x, basisdot.shape[0])  # [K, S, N]
-        return jnp.sum(basisdot[:, None, :] * w, axis=0)
-    if cfg.mode == MODE_MENG:
-        from simple_spectral_tpu.spectra.upsample_meng import lrgb_to_specrefl_meng_soa
-
-        return lrgb_to_specrefl_meng_soa(tables, cfg, r, g, b, lam0)
-    if cfg.mode == MODE_JAKOB:
-        from simple_spectral_tpu.spectra.upsample_jakob import lrgb_to_specrefl_jakob_soa
-
-        return lrgb_to_specrefl_jakob_soa(tables, cfg, r, g, b, lam0)
-    raise ValueError(f"no spectral upsampling in mode {cfg.mode!r}")
-
-
-def evaluate_albedo_cached(
-    scene: SceneData, tables, cfg: RenderConfig, cache, mat, oh, st_s, st_t, lam0
-):
-    """Albedo sample: constant spectrum / constant RGB / on-the-fly spectral
-    upsample of an sRGB texel (the paper's headline trick; reference
-    src/material.cpp:45-64).  -> f32[S, N]."""
-    m = scene.materials
-    if cfg.spectral:
-        const = jnp.einsum("msn,mn->sn", cache["albedo"], oh, precision=_HI)
-    else:
-        const = jnp.einsum("mc,mn->cn", m.albedo_rgb, oh, precision=_HI)
-    if scene.texture is None:
-        return const
-    r, g, b = sample_texture_lrgb(scene, st_s, st_t)
-    if cfg.spectral:
-        texv = lrgb_to_specrefl_soa(
-            tables, cfg, r, g, b, lam0, basis_hero=cache.get("basis_hero")
-        )
-    else:
-        texv = jnp.stack([r, g, b])
-    is_tex = (select_column(m.albedo_kind.astype(jnp.float32), mat, m.n_materials) > 0.5)
-    return jnp.where(is_tex[None, :], texv, const)
 
 
 def is_mirror_mask(scene, mat):
@@ -312,37 +219,3 @@ def sample_bsdf_direction(key, cfg, is_mirror, w_o: V3, normal: V3):
     w_i = v3where(is_mirror, w_i_mir, w_i_lam)
     pdf = jnp.where(is_mirror, jnp.inf, pdf_lam)
     return w_i, pdf, is_mirror
-
-
-def evaluate_bsdf_from_albedo(albedo, is_mirror):
-    """BSDF value for a given (implicit) w_i from NEE.  Mirrors are Dirac
-    deltas: impossible to hit, value 0 (reference src/material.cpp:146-152).
-    -> f32[S, N]."""
-    return jnp.where(is_mirror[None, :], 0.0, albedo * (1.0 / PI))
-
-
-def interact_bsdf_from_albedo(key, cfg, albedo, is_mirror, w_o: V3, normal: V3):
-    """Sample the BSDF: cosine-hemisphere for Lambertian (reference
-    src/material.cpp:130-143), reflection with a delta pdf for mirrors
-    (src/material.cpp:154-167).
-
-    The albedo is evaluated once per bounce by the caller and shared with
-    the NEE BSDF evaluation (the reference evaluates it twice,
-    src/renderer.cpp:198-229 -- pure redundancy).
-
-    Returns (w_i V3[N], pdf f32[N], f_s f32[S,N], is_delta bool[N]).
-    The delta pdf is returned as +inf, exactly as the reference's sentinel
-    (the integrator converts it to the n.l := 1, pdf := 1 convention,
-    reference src/renderer.cpp:234-243).
-    """
-    from simple_spectral_tpu.render.sampling import rand_coshemi, reflect, rotated_to
-    from simple_spectral_tpu.render.vec import where as v3where
-
-    local, pdf_lam = rand_coshemi(key, is_mirror.shape, cfg.eps)
-    w_i_lam = rotated_to(local, normal)
-    w_i_mir = reflect(w_o, normal)
-
-    w_i = v3where(is_mirror, w_i_mir, w_i_lam)
-    pdf = jnp.where(is_mirror, jnp.inf, pdf_lam)
-    f_s = jnp.where(is_mirror[None, :], albedo, albedo * (1.0 / PI))
-    return w_i, pdf, f_s, is_mirror

@@ -29,27 +29,34 @@ def with_material_params(scene, params):
     return dataclasses.replace(scene, materials=mats)
 
 
-@partial(jax.jit, static_argnums=(2, 6))
-def forward_backward_step(scene, tables, cfg: RenderConfig, key, px_flat, target, spp: int):
-    """loss, grads = d/d(materials) mean((render(px) - target)^2).
+def _loss_fn(scene, tables, cfg: RenderConfig, key, px_flat, target, spp: int, remat: str):
+    """mean((render(px) - target)^2) as a function of the material params.
 
-    px_flat: i32[P]; target: f32[P, 3].  spp samples per pixel, averaged.
+    remat selects the AD memory/recompute trade for the per-sample trace:
+      - "none":  save residuals (phase-2 shading intermediates per sample)
+      - "trace": jax.checkpoint each sample's whole trace -- backward re-runs
+        the forward per sample; bounds residual memory at O(1) samples
     """
     px_i = px_flat % cfg.width
     px_j = px_flat // cfg.width
-    params0 = material_params(scene)
 
-    def loss_fn(params):
+    trace = trace_lanes
+    if remat == "trace":
+        trace = jax.checkpoint(
+            lambda s, t, k, pi, pj: trace_lanes(s, t, cfg, k, pi, pj)
+        )
+        trace_call = lambda s2, k: trace(s2, tables, k, px_i, px_j)
+    else:
+        trace_call = lambda s2, k: trace_lanes(s2, tables, cfg, k, px_i, px_j)
+
+    def loss(params):
         s2 = with_material_params(scene, params)
 
         # NOTE on memory: AD residuals scale with spp (each scanned sample's
         # trace is held live for the backward sweep), so callers bound spp
-        # per call and chunk on the host -- jax.checkpoint would trade the
-        # memory for recompute, but remat'd scans currently send this
-        # environment's AOT compiler into a tailspin, and host chunking
-        # achieves the same peak-memory bound.
+        # per call and chunk on the host; remat="trace" instead recomputes.
         def body(acc, k):
-            res = trace_lanes(s2, tables, cfg, k, px_i, px_j)
+            res = trace_call(s2, k)
             return acc + res.value, None
 
         keys = jax.random.split(key, spp)
@@ -57,4 +64,26 @@ def forward_backward_step(scene, tables, cfg: RenderConfig, key, px_flat, target
         mean_v = sum_v / spp
         return jnp.mean((mean_v - target) ** 2)
 
-    return jax.value_and_grad(loss_fn)(params0)
+    return loss
+
+
+@partial(jax.jit, static_argnums=(2, 6, 7))
+def forward_backward_step(
+    scene, tables, cfg: RenderConfig, key, px_flat, target, spp: int, remat: str = "none"
+):
+    """loss, grads = d/d(materials) mean((render(px) - target)^2).
+
+    px_flat: i32[P]; target: f32[P, 3].  spp samples per pixel, averaged.
+    """
+    loss = _loss_fn(scene, tables, cfg, key, px_flat, target, spp, remat)
+    return jax.value_and_grad(loss)(material_params(scene))
+
+
+@partial(jax.jit, static_argnums=(2, 6, 7))
+def forward_only_step(
+    scene, tables, cfg: RenderConfig, key, px_flat, target, spp: int, remat: str = "none"
+):
+    """The same loss WITHOUT gradients -- the fwd half of the fwd/bwd split
+    (tools/perf_ablate.py records both to size the backward sweep)."""
+    loss = _loss_fn(scene, tables, cfg, key, px_flat, target, spp, remat)
+    return loss(material_params(scene))

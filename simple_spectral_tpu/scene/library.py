@@ -182,9 +182,25 @@ class _Builder:
         assert light_prims, "scene must have at least one light (reference src/scene.cpp:30)"
 
         camera = self._camera()
-        tex_aux = None
-        if self.texture is not None and spectral and cfg.mode in ("jakob", "meng"):
-            tex_aux = self._texel_upsample_aux()
+        tex_rows = None
+        if self.texture is not None:
+            if spectral and cfg.mode in ("jakob", "meng"):
+                from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb_np
+
+                lrgb = srgb_to_lrgb_np(
+                    np.asarray(self.texture, np.float32).reshape(-1, 3) / 255.0
+                )
+                tex_rows = self._texel_upsample_aux(lrgb)
+            else:
+                # rgb/mallett: ONE packed u32 per texel; the exact sRGB u8 ->
+                # lRGB decode stays on device, where it is hidden behind the
+                # gather (measured: tools/bench_gather_micro.py -- a f32[T,3]
+                # row gather is ~1.5x slower than u32[T] + pow decode)
+                tex_rows = jnp.asarray(
+                    (self.texture[..., 0].astype(np.uint32) << 16)
+                    | (self.texture[..., 1].astype(np.uint32) << 8)
+                    | self.texture[..., 2].astype(np.uint32)
+                ).reshape(-1)
         return SceneData(
             tri_verts=jnp.asarray(tv, jnp.float32),
             tri_st=jnp.asarray(np.asarray(tri_st), jnp.float32),
@@ -195,17 +211,7 @@ class _Builder:
             light_prims=jnp.asarray(light_prims, jnp.int32),
             materials=materials,
             camera=camera,
-            # packed u32 0xRRGGBB per texel: one gather per fetch on device
-            texture=(
-                jnp.asarray(
-                    (self.texture[..., 0].astype(np.uint32) << 16)
-                    | (self.texture[..., 1].astype(np.uint32) << 8)
-                    | self.texture[..., 2].astype(np.uint32)
-                ).reshape(-1)
-                if self.texture is not None
-                else None
-            ),
-            tex_aux=tex_aux,
+            texture=tex_rows,
             n_tris=len(tri_mat),
             n_prims=len(self.quads),
             n_lights=len(light_prims),
@@ -220,8 +226,9 @@ class _Builder:
     def _camera(self) -> Camera:
         raise NotImplementedError
 
-    def _texel_upsample_aux(self):
-        """Precompute per-texel spectral-upsample data (SceneData.tex_aux).
+    def _texel_upsample_aux(self, lrgb):
+        """Precompute per-texel spectral-upsample rows (SceneData.texture) for
+        the jakob/meng pipelines.
 
         The reference upsamples each texel on the fly per intersection
         (reference src/material.cpp:45-64); the position-dependent part of
@@ -229,11 +236,6 @@ class _Builder:
         on the texel's RGB, so it is hoisted to scene build -- the per-bounce
         device work then needs no table gathers beyond one texel row.
         """
-        from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb_np
-
-        lrgb = srgb_to_lrgb_np(
-            np.asarray(self.texture, np.float32).reshape(-1, 3) / 255.0
-        )
         r = jnp.asarray(lrgb[:, 0])
         g = jnp.asarray(lrgb[:, 1])
         b = jnp.asarray(lrgb[:, 2])

@@ -128,16 +128,21 @@ class SceneData:
     materials: MaterialTable
     camera: Camera
 
-    # Texture (at most one per scene in the reference; sRGB u8, scanlines
-    # top-to-bottom as stored by lodepng; reference src/material.cpp:10-29).
-    texture: Any = None  # u32[Ht*Wt] packed 0xRRGGBB, or None
-
-    # Per-texel spectral-upsample data, precomputed at scene build so the
-    # per-bounce texture albedo needs ONE row gather instead of the mode's
-    # table gathers (Jakob-Hanika: the 8-corner cube fetch; Meng: the whole
-    # grid walk).  jakob: f32[Ht*Wt, 3] sigmoid coefficients.  meng:
-    # f32[Ht*Wt, 12] = 6 grid-point ids (exact ints) + 6 weights.
-    tex_aux: Any = None
+    # Texture (at most one per scene in the reference), shipped as per-texel
+    # data precomputed at scene build for the active color pipeline, so the
+    # per-bounce texture albedo needs ONE gather.  Each mode's
+    # position-independent table walk (Jakob-Hanika's 8-corner cube fetch,
+    # Meng's grid-cell search; reference src/util/color.cpp:166-235, redone
+    # per hit there) is hoisted to build time; only the paper's headline
+    # on-the-fly step (per-hit *spectral* evaluation at the hero wavelengths)
+    # stays on device.  Layout per mode (scanlines top-to-bottom, as lodepng
+    # stores; widths are measured choices -- TPU gathers cost ~7 ns/index and
+    # scale with row bytes, tools/bench_gather_micro.py):
+    #   rgb, mallett: u32[Ht*Wt]     packed 0xRRGGBB sRGB (decode on device,
+    #                                hidden behind the gather)
+    #   jakob:        f32[Ht*Wt, 3]  sigmoid polynomial coefficients
+    #   meng:         f32[Ht*Wt, 12] 6 grid-point ids (exact ints) + 6 weights
+    texture: Any = None
 
     n_tris: int = 0
     n_prims: int = 0

@@ -117,7 +117,7 @@ def test_cross_mode_consistency_cornell_srgb():
 
 
 @pytest.mark.slow
-def test_round_trip_exhaustive_2e24(tables1931=None):
+def test_round_trip_exhaustive_2e24():
     """ALL 24-bit sRGB colors through basis->spectrum->XYZ->lRGB, max error
     at the reference's recorded f32 bound (src/main.cpp:242-265)."""
     cfg = RenderConfig(scene="cornell", mode="mallett", observer=1931)

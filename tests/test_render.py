@@ -143,7 +143,7 @@ def test_gradient_matches_finite_difference():
 @pytest.mark.parametrize("mode", ["rgb", "mallett", "meng", "jakob"])
 def test_cornell_srgb_textured_smoke(mode):
     """cornell-srgb (textured left wall) in every color pipeline; exercises
-    the per-texel deferred-upsample path (SceneData.tex_aux) end to end."""
+    the per-texel deferred-upsample path (SceneData.texture rows) end to end."""
     from simple_spectral_tpu.scene.library import build_scene
 
     cfg = RenderConfig(scene="cornell-srgb", mode=mode, width=16, height=16, spp=4)
