@@ -52,6 +52,33 @@ def build_parser() -> argparse.ArgumentParser:
                    help="texture for the srgb scenes (the reference's 4096^2 "
                    "texture is missing from its own checkout)")
     p.add_argument("--quiet", action="store_true")
+    # live preview: the reference's --window GLFW/glDrawPixels loop
+    # (src/main.cpp:51-52,271-334), re-shaped for headless TPU hosts as an
+    # HTTP frame server (point a browser at it) or an in-terminal ANSI view
+    p.add_argument("--window", nargs="?", const="auto", default=None,
+                   choices=("auto", "http", "ansi"), metavar="KIND",
+                   help="live preview of the accumulating image: http "
+                   "(browser, default) or ansi (truecolor terminal)")
+    p.add_argument("--window-port", type=int, default=8000,
+                   help="port for --window http (0 = ephemeral)")
+    # multi-chip / multi-host rendering (parallel/{sharding,multihost}.py)
+    p.add_argument("--sp", type=int, default=1, metavar="K",
+                   help="sample-parallel mesh axis: split each pixel's spp "
+                   "over K devices and psum the partial sums")
+    p.add_argument("--sharded", action="store_true",
+                   help="render on a dp x sp mesh over ALL local devices "
+                   "(single process); implied by --sp > 1 or --coordinator")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host rendering: jax.distributed coordinator "
+                   "address (run one process per host)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for --coordinator")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index for --coordinator")
+    p.add_argument("--intersect-impl", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="closest-hit sweep implementation (auto = measured "
+                   "best for the backend; see render/intersect.py)")
     # progressive rendering / checkpointing (no reference analog)
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="accumulate progressively and checkpoint to PATH "
@@ -67,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.coordinator or args.num_processes:
+        # must run before the first jax backend use (jax.distributed contract)
+        from simple_spectral_tpu.parallel.multihost import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     cfg = RenderConfig(
         scene=args.scene,
         width=args.width,
@@ -80,6 +112,7 @@ def main(argv=None) -> int:
         els=not args.no_els,
         flat_field=not args.no_flat_field,
         texture=args.texture,
+        intersect_impl=args.intersect_impl,
     )
     # replicate the reference's convergence advice (src/renderer.cpp:18-31)
     if cfg.scene.startswith("cornell") and not cfg.els:
@@ -90,15 +123,66 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     from simple_spectral_tpu.io.image import save_image
+
+    multihost = bool(args.coordinator or args.num_processes)
+    sharded = args.sharded or args.sp > 1 or multihost
+    t0 = time.time()
+
+    if sharded:
+        # mesh-parallel render: whole image as one dp x sp sharded
+        # accumulation (no progressive passes/preview on this path yet)
+        import jax
+
+        from simple_spectral_tpu.render.renderer import finalize_srgb
+        from simple_spectral_tpu.scene.library import build_scene
+        from simple_spectral_tpu.spectra.colorimetry import build_color_tables
+
+        tables = build_color_tables(cfg)
+        scene = build_scene(cfg, tables)
+        if multihost:
+            from simple_spectral_tpu.parallel.multihost import (
+                render_accumulate_multihost,
+            )
+
+            value, alpha = render_accumulate_multihost(
+                cfg, scene, tables, sp=args.sp, seed=args.seed
+            )
+        else:
+            from simple_spectral_tpu.parallel.sharding import (
+                make_mesh,
+                render_accumulate_sharded,
+            )
+
+            mesh = make_mesh(sp=args.sp)
+            value, alpha = render_accumulate_sharded(cfg, scene, tables, mesh, seed=args.seed)
+        dt = time.time() - t0
+        if not multihost or jax.process_index() == 0:
+            save_image(args.output, finalize_srgb(cfg, tables, value, alpha))
+        if not args.quiet:
+            n_dev = len(jax.devices())
+            print(f"rendered {cfg.scene} {cfg.width}x{cfg.height}@{cfg.spp}spp "
+                  f"mode={cfg.mode} on {n_dev} devices in {dt:.2f}s -> {args.output}")
+        return 0
+
     from simple_spectral_tpu.render.progressive import ProgressiveRenderer
 
-    t0 = time.time()
     pr = ProgressiveRenderer(
         cfg, seed=args.seed, checkpoint_path=args.checkpoint, spp_per_pass=args.pass_spp
     )
     if args.checkpoint and pr.resume():
         print(f"resumed from {args.checkpoint} at {pr.spp_done} spp", file=sys.stderr)
-    pr.run(checkpoint_every=args.checkpoint_every, progress=not args.quiet)
+    preview = on_pass = None
+    if args.window:
+        from simple_spectral_tpu.io.preview import open_preview
+
+        preview = open_preview(args.window, port=args.window_port, quiet=args.quiet)
+        on_pass = lambda p: preview.update(p.image_u8(), p.spp_done, cfg.spp)  # noqa: E731
+    try:
+        pr.run(checkpoint_every=args.checkpoint_every, progress=not args.quiet,
+               on_pass=on_pass)
+    finally:
+        if preview is not None:
+            preview.close()
     dt = time.time() - t0
     fb = pr.image()
     save_image(args.output, fb)

@@ -192,12 +192,18 @@ class ProgressiveRenderer:
         self.metrics.record_pass(pass_spp, time.time() - t0)
         return self.spp_done
 
-    def run(self, checkpoint_every: int = 0, progress: bool = False):
-        """Render until cfg.spp samples are accumulated."""
+    def run(self, checkpoint_every: int = 0, progress: bool = False, on_pass=None):
+        """Render until cfg.spp samples are accumulated.
+
+        ``on_pass(self)`` is invoked after every pass -- the hook behind the
+        CLI's ``--window`` live preview (the reference instead re-blits its
+        GL window on a timer, src/main.cpp:271-334)."""
         n_pass = 0
         while self.spp_done < self.cfg.spp:
             self.run_pass()
             n_pass += 1
+            if on_pass is not None:
+                on_pass(self)
             if progress:
                 m = self.metrics
                 print(
