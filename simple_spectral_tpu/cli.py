@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "xla", "pallas"),
                    help="closest-hit sweep implementation (auto = measured "
                    "best for the backend; see render/intersect.py)")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="instrument the render with checkify float checks: "
+                   "NaN/inf/div-by-zero raise with source location instead "
+                   "of corrupting the image (slow; debugging aid)")
     # progressive rendering / checkpointing (no reference analog)
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="accumulate progressively and checkpoint to PATH "
@@ -113,6 +117,7 @@ def main(argv=None) -> int:
         flat_field=not args.no_flat_field,
         texture=args.texture,
         intersect_impl=args.intersect_impl,
+        debug_checks=args.debug_checks,
     )
     # replicate the reference's convergence advice (src/renderer.cpp:18-31)
     if cfg.scene.startswith("cornell") and not cfg.els:

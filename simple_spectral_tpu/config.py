@@ -65,6 +65,13 @@ class RenderConfig:
     # (jax.checkpoint around precompute_constant_spectra): trades a cheap
     # recompute for not saving the [K, M, S, N] hat-weight residuals.
     remat_cache: bool = True
+    # Debug mode: instrument the traced render with jax.experimental.checkify
+    # float checks (NaN / inf / div-by-zero, each reported with its source
+    # line).  The compute path is written where-before-divide so a clean
+    # scene raises nothing; degenerate inputs fail at the originating op
+    # instead of as a silently black/NaN image.  Costs compile + run time;
+    # CPU-debugging aid, off by default.
+    debug_checks: bool = False
     # Texture used by cornell-srgb / plane-srgb.  The reference points at a
     # 4096^2 texture missing from its own checkout (reference
     # src/scene.cpp:292 and .MISSING_LARGE_BLOBS); the in-repo 512^2 texture

@@ -78,7 +78,12 @@ def intersect_rays_soa(
     rays only need (hit, dist, prim, mat).
     """
     kx, ky, kz, dz = _pick_axes(d)
-    inv_dz = 1.0 / dz
+    # dz == 0 only for an all-zero direction (dead/padded lanes; any real
+    # direction's largest axis is nonzero); guard the divide so the sweep is
+    # NaN-free even on masked lanes (cfg.debug_checks runs under full
+    # checkify float_checks).  Such lanes produce garbage-but-finite dists
+    # whose contributions are gated to 0 downstream.
+    inv_dz = 1.0 / jnp.where(dz == 0.0, 1.0, dz)
     sx = select3(kx, d.x, d.y, d.z) * inv_dz  # f32[N]
     sy = select3(ky, d.x, d.y, d.z) * inv_dz
     sz = inv_dz
@@ -117,7 +122,9 @@ def intersect_rays_soa(
     # Sign of T must match sign of det (reference src/geometry.cpp:79-84).
     same_sign = jnp.signbit(det) == jnp.signbit(t_scaled)
 
-    dist = t_scaled / det
+    # where-before-divide: det == 0 lanes are already excluded by ok_det
+    # (eps > 0), so the guarded divisor changes no valid lane's dist.
+    dist = t_scaled / jnp.where(det == 0.0, 1.0, det)
     not_ignored = scene.tri_prim[:, None] != ignore_prim[None, :]
     valid = inside & ok_det & same_sign & (dist >= eps) & not_ignored
     dist = jnp.where(valid, dist, INF)
@@ -238,7 +245,7 @@ def intersect_rays_pallas(
 
     # --- attribute recovery: one winning triangle per lane ---
     kx, ky, kz, dz = _pick_axes(d)
-    inv_dz = 1.0 / dz
+    inv_dz = 1.0 / jnp.where(dz == 0.0, 1.0, dz)  # see intersect_rays_soa
     sx = select3(kx, d.x, d.y, d.z) * inv_dz
     sy = select3(ky, d.x, d.y, d.z) * inv_dz
     sz = inv_dz

@@ -27,10 +27,7 @@ from simple_spectral_tpu.spectra.colorimetry import (
 )
 
 
-@partial(jax.jit, static_argnums=(2, 5))
-def _render_chunk(scene, tables, cfg: RenderConfig, key, px_flat, spp: int):
-    """Trace ``spp`` samples for each pixel in ``px_flat`` (i32[P]) and
-    return (sum f32[P,S], alpha_sum f32[P]) over samples."""
+def _render_chunk_impl(scene, tables, cfg: RenderConfig, key, px_flat, spp: int):
     p = px_flat.shape[0]
     px_i = px_flat % cfg.width
     px_j = px_flat // cfg.width
@@ -46,6 +43,32 @@ def _render_chunk(scene, tables, cfg: RenderConfig, key, px_flat, spp: int):
     init = (jnp.zeros((p, 3), jnp.float32), jnp.zeros((p,), jnp.float32))
     (sum_v, sum_a), _ = jax.lax.scan(body, init, keys)
     return sum_v, sum_a
+
+
+_render_chunk_jit = partial(jax.jit, static_argnums=(2, 5))(_render_chunk_impl)
+
+
+@partial(jax.jit, static_argnums=(2, 5))
+def _render_chunk_checked(scene, tables, cfg: RenderConfig, key, px_flat, spp: int):
+    """checkify-instrumented variant (cfg.debug_checks): every op is checked
+    for NaN / inf / division-by-zero and the first failure is reported with
+    its source location (SURVEY.md section 5, NaN-guard debug mode)."""
+    from jax.experimental import checkify
+
+    checked = checkify.checkify(
+        lambda *a: _render_chunk_impl(*a, spp), errors=checkify.float_checks
+    )
+    return checked(scene, tables, cfg, key, px_flat)
+
+
+def _render_chunk(scene, tables, cfg: RenderConfig, key, px_flat, spp: int):
+    """Trace ``spp`` samples for each pixel in ``px_flat`` (i32[P]) and
+    return (sum f32[P,S], alpha_sum f32[P]) over samples."""
+    if cfg.debug_checks:
+        err, out = _render_chunk_checked(scene, tables, cfg, key, px_flat, spp)
+        err.throw()  # no-op when clean; JaxRuntimeError with location else
+        return out
+    return _render_chunk_jit(scene, tables, cfg, key, px_flat, spp)
 
 
 def render_accumulate(
