@@ -191,12 +191,13 @@ def sharded_loss_and_grad(
             mats = dataclasses.replace(scene.materials, **prm)
             s2 = dataclasses.replace(scene, materials=mats)
 
-            def body(acc, k):
-                res = trace_lanes(s2, tables, cfg, k, px_i, px_j)
-                return acc + res.value, None
-
+            # unrolled, not lax.scan: transposing a scan costs ~2.1x the
+            # per-sample backward (see render/trainstep.py _loss_fn); RNG
+            # stream (split + in-order consumption) is identical either way
             keys = jax.random.split(kshard, spp // sp)
-            sum_v, _ = jax.lax.scan(body, jnp.zeros((px_.shape[0], 3), jnp.float32), keys)
+            sum_v = jnp.zeros((px_.shape[0], 3), jnp.float32)
+            for i in range(spp // sp):
+                sum_v = sum_v + trace_lanes(s2, tables, cfg, keys[i], px_i, px_j).value
             mean_v = jax.lax.psum(sum_v, "sp") / spp
             # mean over all pixels: local sum / global count
             return jnp.sum((mean_v - tgt_) ** 2) / (3.0 * n)

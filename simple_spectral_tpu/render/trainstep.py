@@ -36,6 +36,15 @@ def _loss_fn(scene, tables, cfg: RenderConfig, key, px_flat, target, spp: int, r
       - "none":  save residuals (phase-2 shading intermediates per sample)
       - "trace": jax.checkpoint each sample's whole trace -- backward re-runs
         the forward per sample; bounds residual memory at O(1) samples
+
+    The spp samples run as an UNROLLED python loop, not a ``lax.scan``:
+    transposing the scan for the backward pass forces every iteration's
+    residuals through a materialized stack + loop-carried restore, which
+    measured at ~2.1x the per-sample backward cost of straight-line code
+    (tools/ablation_r03.json BWD-iso rows: 28.5 ms/sample inside the scan
+    vs 13.4 ms/sample unrolled).  Residual MEMORY is identical (one trace's
+    intermediates per sample either way); only compile time grows with spp,
+    which callers already bound (spp per call is the host chunking knob).
     """
     px_i = px_flat % cfg.width
     px_j = px_flat // cfg.width
@@ -52,15 +61,10 @@ def _loss_fn(scene, tables, cfg: RenderConfig, key, px_flat, target, spp: int, r
     def loss(params):
         s2 = with_material_params(scene, params)
 
-        # NOTE on memory: AD residuals scale with spp (each scanned sample's
-        # trace is held live for the backward sweep), so callers bound spp
-        # per call and chunk on the host; remat="trace" instead recomputes.
-        def body(acc, k):
-            res = trace_call(s2, k)
-            return acc + res.value, None
-
         keys = jax.random.split(key, spp)
-        sum_v, _ = jax.lax.scan(body, jnp.zeros((px_flat.shape[0], 3), jnp.float32), keys)
+        sum_v = jnp.zeros((px_flat.shape[0], 3), jnp.float32)
+        for i in range(spp):
+            sum_v = sum_v + trace_call(s2, keys[i]).value
         mean_v = sum_v / spp
         return jnp.mean((mean_v - target) ** 2)
 

@@ -43,6 +43,60 @@ from simple_spectral_tpu.spectra.spectrum import Spectrum, load_spectral_csv, da
 SCENE_NAMES = ("cornell", "cornell-srgb", "plane-srgb")
 
 
+def _common_grid_resample(specs, k_pad: int, lambda_min: float, lambda_max: float):
+    """Exact shared lattice for a set of uniform-grid spectra + the per-
+    material resample matrices, or (None, None) when no exact lattice exists.
+
+    Every material's hat-reconstructed spectrum (linear interp, zero outside;
+    reference src/spectrum.cpp:39-60) is piecewise-linear with breakpoints on
+    its own lattice low_i + Z*step_i.  If one lattice of pitch g contains
+    every breakpoint (g divides all steps and all pairwise low offsets), then
+    resampling each spectrum onto that lattice is EXACT over the observable
+    window: the resampled values are the original function at the shared
+    nodes, and the function is linear between consecutive shared nodes.  The
+    device can then evaluate every material's spectrum at the hero
+    wavelengths with ONE shared hat-weight tensor and an MXU matmul instead
+    of a per-material K-dense VPU pass (render/shading.py).
+
+    Returns ((g_low, g_step, kc), R f32[M, kc, k_pad]) with
+    resampled = values @ R[m].T exactly reproducing each original spectrum.
+    """
+    from fractions import Fraction
+
+    import math
+
+    try:
+        fr = [(Fraction(repr(float(s.low))), Fraction(repr(float(s.step))),
+               s.values.size) for s in specs]
+    except (ValueError, ArithmeticError):
+        return None, None
+    # lattice pitch: gcd of all steps and all low offsets (Fraction gcd)
+    vals = [st for _, st, _ in fr] + [lo - fr[0][0] for lo, _, _ in fr[1:]]
+    vals = [abs(v) for v in vals if v != 0]
+    if not vals:
+        return None, None
+    den = math.lcm(*(v.denominator for v in vals))
+    g = Fraction(math.gcd(*(int(v * den) for v in vals)), den)
+    if g <= 0:
+        return None, None
+    # window [lambda_min - g, lambda_max + g], snapped down/up to the lattice
+    lo0 = fr[0][0]
+    g_low = lo0 + math.floor((Fraction(repr(float(lambda_min))) - g - lo0) / g) * g
+    g_high = lo0 + math.ceil((Fraction(repr(float(lambda_max))) + g - lo0) / g) * g
+    kc = int((g_high - g_low) / g) + 1
+    if kc > 4096:  # pathological lattice: shared pass would cost more than it saves
+        return None, None
+
+    nodes = np.asarray([float(g_low + j * g) for j in range(kc)], np.float64)
+    m = len(specs)
+    r = np.zeros((m, kc, k_pad), np.float32)
+    for i, s in enumerate(specs):
+        x = (nodes - float(s.low)) / float(s.step)  # [kc]
+        kk = np.arange(s.values.size, dtype=np.float64)
+        r[i, :, : s.values.size] = np.maximum(0.0, 1.0 - np.abs(x[:, None] - kk[None, :]))
+    return (float(g_low), float(g), kc), r
+
+
 class _HostMaterial:
     """Host-side material description gathered before packing."""
 
@@ -139,6 +193,10 @@ class _Builder:
 
         alb_vals, alb_low, alb_inv = pack(alb_specs, ka)
         emi_vals, emi_low, emi_inv = pack(emi_specs, ke)
+        alb_grid, alb_res = _common_grid_resample(
+            alb_specs, ka, cfg.lambda_min, cfg.lambda_max)
+        emi_grid, emi_res = _common_grid_resample(
+            emi_specs, ke, cfg.lambda_min, cfg.lambda_max)
 
         materials = MaterialTable(
             bsdf_type=jnp.asarray([mat.bsdf for mat in self.materials], jnp.int32),
@@ -155,6 +213,10 @@ class _Builder:
             albedo_rgb=jnp.asarray([mat.albedo_rgb for mat in self.materials], jnp.float32),
             emission_rgb=jnp.asarray([mat.emission_rgb for mat in self.materials], jnp.float32),
             tex_id=jnp.asarray([mat.tex_id for mat in self.materials], jnp.int32),
+            albedo_resample=None if alb_res is None else jnp.asarray(alb_res),
+            emission_resample=None if emi_res is None else jnp.asarray(emi_res),
+            albedo_grid=alb_grid,
+            emission_grid=emi_grid,
             n_materials=m,
         )
 

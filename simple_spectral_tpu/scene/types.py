@@ -80,7 +80,7 @@ _pytree_dataclass(Camera)
 class MaterialTable:
     """Dense material table; the differentiable leaves of the renderer."""
 
-    _static = ("n_materials",)
+    _static = ("n_materials", "albedo_grid", "emission_grid")
 
     bsdf_type: Any  # i32[M]: BSDF_LAMBERTIAN | BSDF_MIRROR
     albedo_kind: Any  # i32[M]: ALBEDO_CONSTANT | ALBEDO_TEXTURE
@@ -101,6 +101,19 @@ class MaterialTable:
     emission_rgb: Any  # f32[M, 3]
 
     tex_id: Any  # i32[M]; -1 = no texture
+
+    # Common-grid resample (scene/library.py common_grid): when every
+    # material's uniform grid embeds exactly into one shared lattice
+    # (g_low, g_step, Kc), `resample` holds the per-material hat matrix
+    # R[m, j, k] mapping original samples -> shared-grid samples, so the
+    # per-sample hero evaluation becomes res = values @ R^T followed by ONE
+    # [M, Kc] x [Kc, S*N] MXU matmul instead of a per-material K-dense VPU
+    # hat pass (render/shading.py precompute_constant_spectra).  None when
+    # no exact shared lattice exists (fallback: per-material path).
+    albedo_resample: Any = None  # f32[M, Kc_a, Ka] | None
+    emission_resample: Any = None  # f32[M, Kc_e, Ke] | None
+    albedo_grid: Any = None  # (g_low, g_step, Kc) floats/int, static
+    emission_grid: Any = None  # (g_low, g_step, Kc), static
 
     n_materials: int = 0
 

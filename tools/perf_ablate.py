@@ -114,7 +114,7 @@ def main():
     global OUT_PATH
     args = sys.argv[1:]
     OUT_PATH = args.pop(0) if args and args[0].endswith(".json") else None
-    groups = set(args) or {"fwd", "split", "chunk", "remat"}
+    groups = set(args) or {"fwd", "split", "chunk", "remat", "bwd"}
     base = dict(width=512, height=512, spp=64)
     canon = RenderConfig(scene="cornell-srgb", mode="mallett", **base)
 
@@ -137,6 +137,28 @@ def main():
         guarded(bench_step, "FWD+BWD cornell mallett (no texture)", RenderConfig(scene="cornell", mode="mallett", **base))
         guarded(bench_step, "FWD+BWD cornell-srgb rgb", RenderConfig(scene="cornell-srgb", mode="rgb", **base))
         guarded(bench_step, "FWD+BWD canonical no remat_cache", canon.replace(remat_cache=False))
+
+    if "bwd" in groups:
+        # isolate WHERE the ~105 ms backward (stripped) goes: spectra
+        # precompute remat, per-bounce shading VJP, or fixed scan overhead
+        guarded(bench_step, "BWD-iso rgb stripped FWD-only",
+                RenderConfig(scene="cornell", mode="rgb", **base), fwd_only=True)
+        guarded(bench_step, "BWD-iso rgb stripped FWD+BWD",
+                RenderConfig(scene="cornell", mode="rgb", **base))
+        guarded(bench_step, "BWD-iso mallett S=1 stripped FWD-only",
+                RenderConfig(scene="cornell", mode="mallett", n_wavelengths=1, **base),
+                fwd_only=True)
+        guarded(bench_step, "BWD-iso mallett S=1 stripped FWD+BWD",
+                RenderConfig(scene="cornell", mode="mallett", n_wavelengths=1, **base))
+        guarded(bench_step, "BWD-iso mallett depth=2 stripped FWD-only",
+                RenderConfig(scene="cornell", mode="mallett", max_depth=2, **base),
+                fwd_only=True)
+        guarded(bench_step, "BWD-iso mallett depth=2 stripped FWD+BWD",
+                RenderConfig(scene="cornell", mode="mallett", max_depth=2, **base))
+        guarded(bench_step, "BWD-iso canonical spp_chunk=1 FWD-only", canon,
+                spp_chunk=1, fwd_only=True)
+        guarded(bench_step, "BWD-iso canonical spp_chunk=1 FWD+BWD", canon,
+                spp_chunk=1)
 
     if "chunk" in groups:
         for c in (2, 8, 16):
