@@ -76,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=None,
                    help="this process's index for --coordinator")
     p.add_argument("--intersect-impl", default="auto",
-                   choices=("auto", "xla", "pallas"),
+                   choices=("auto", "xla", "xla2", "pallas"),
                    help="closest-hit sweep implementation (auto = measured "
                    "best for the backend; see render/intersect.py)")
     p.add_argument("--debug-checks", action="store_true",

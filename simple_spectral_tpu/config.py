@@ -87,8 +87,8 @@ class RenderConfig:
             raise ValueError("n_wavelengths must be >= 1")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
-        if self.intersect_impl not in ("auto", "xla", "pallas"):
-            raise ValueError("intersect_impl must be auto | xla | pallas")
+        if self.intersect_impl not in ("auto", "xla", "xla2", "pallas"):
+            raise ValueError("intersect_impl must be auto | xla | xla2 | pallas")
         # The reference refuses non-"Ours" + CIE 2006 at compile time
         # (src/stdafx.hpp:107-109).  We *support* it (documented extension):
         # meng/jakob table coverage is clamped to their fitted range.

@@ -288,6 +288,132 @@ def intersect_rays_pallas(
     )
 
 
+def intersect_rays_soa2(
+    scene: SceneData,
+    o: V3,
+    d: V3,
+    ignore_prim: jnp.ndarray,
+    eps: float,
+    need_attrs: bool = True,
+) -> HitRecord:
+    """Two-pass recompute formulation of :func:`intersect_rays_soa`.
+
+    The single-pass version's argmin + one-hot attribute reductions give the
+    [T, N] intermediates (u, v, w, dist, one-hot) MANY consumers, which can
+    make XLA materialize them to HBM (~40 MB each at N=2^18) instead of
+    fusing.  Here pass 1 reduces a packed (quantized-dist | tri-index) int32
+    key to its min per lane -- one fused reduction, nothing materialized --
+    and pass 2 recomputes the identical per-(t, n) terms and reduces every
+    attribute against (key == best_key), a second fused multi-output
+    reduction.  2x the arithmetic, O(N) traffic.  Key packing follows the
+    Pallas kernel (render/intersect_pallas.py): positive-float bits are
+    monotonic as int32, so dropping ceil(log2 T) mantissa bits for the index
+    keeps min-by-key == min-by-dist up to ties within 2^-(23-idx_bits)
+    relative, which resolve deterministically to the lowest triangle index
+    (the single-pass argmin picks the first of exactly-equal dists; converged
+    -image parity absorbs the measure-zero difference).  The RETURNED dist is
+    exact (recovered in pass 2), not the quantized prefix.
+    """
+    n_tris = scene.tri_verts.shape[0]
+    idx_bits = max(1, (n_tris - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+    inf_key = jnp.int32(0x7F800000)
+
+    kx, ky, kz, dz = _pick_axes(d)
+    inv_dz = 1.0 / jnp.where(dz == 0.0, 1.0, dz)  # see intersect_rays_soa
+    sx = select3(kx, d.x, d.y, d.z) * inv_dz
+    sy = select3(ky, d.x, d.y, d.z) * inv_dz
+    sz = inv_dz
+
+    tv = scene.tri_verts
+    kxe, kye, kze = kx[None, :], ky[None, :], kz[None, :]
+    oxe, oye, oze = o.x[None, :], o.y[None, :], o.z[None, :]
+
+    def terms():
+        """Per-(T, N) watertight terms; traced twice ON PURPOSE (pass 2
+        recomputes instead of re-reading pass 1's intermediates)."""
+
+        def sheared(vert):
+            rx = tv[:, vert, 0][:, None] - oxe
+            ry = tv[:, vert, 1][:, None] - oye
+            rz = tv[:, vert, 2][:, None] - oze
+            r_kx = select3(kxe, rx, ry, rz)
+            r_ky = select3(kye, rx, ry, rz)
+            r_kz = select3(kze, rx, ry, rz)
+            return r_kx - sx[None, :] * r_kz, r_ky - sy[None, :] * r_kz, r_kz
+
+        ax_a, ay_a, az_a = sheared(0)
+        ax_b, ay_b, az_b = sheared(1)
+        ax_c, ay_c, az_c = sheared(2)
+        u = ay_b * ax_c - ax_b * ay_c
+        v = ay_c * ax_a - ax_c * ay_a
+        w = ay_a * ax_b - ax_a * ay_b
+        inside = ((u >= 0.0) & (v >= 0.0) & (w >= 0.0)) | (
+            (u <= 0.0) & (v <= 0.0) & (w <= 0.0)
+        )
+        det = u + v + w
+        ok_det = jnp.abs(det) > eps
+        t_scaled = sz[None, :] * (u * az_a + v * az_b + w * az_c)
+        same_sign = jnp.signbit(det) == jnp.signbit(t_scaled)
+        dist = t_scaled / jnp.where(det == 0.0, 1.0, det)
+        not_ignored = scene.tri_prim[:, None] != ignore_prim[None, :]
+        valid = inside & ok_det & same_sign & (dist >= eps) & not_ignored
+        return u, v, w, dist, valid
+
+    def keys_of(dist, valid):
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tris, 1), 0)
+        bits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+        key = (bits & ~jnp.int32(idx_mask)) | iota_t
+        return jnp.where(valid, key, inf_key)
+
+    # pass 1: min packed key per lane (one fused reduction)
+    u, v, w, dist, valid = terms()
+    best_key = jnp.min(keys_of(dist, valid), axis=0)
+    hit = best_key < inf_key
+
+    # pass 2: recompute, reduce attributes against the winner
+    u, v, w, dist, valid = terms()
+    oh = keys_of(dist, valid) == best_key[None, :]  # exactly one True on hit
+
+    def pick_f(arr):  # f32[T, N] | f32[T] broadcast -> f32[N]
+        a = arr if arr.ndim == 2 else arr[:, None]
+        return jnp.sum(jnp.where(oh, a, 0.0), axis=0)
+
+    def pick_i(col):  # i32[T] -> i32[N]
+        return jnp.max(jnp.where(oh, col[:, None], -1), axis=0)
+
+    best_dist = jnp.where(hit, pick_f(dist), INF)
+    prim = jnp.where(hit, pick_i(scene.tri_prim), -1)
+    mat = jnp.where(hit, pick_i(scene.tri_mat), 0)
+    tri = jnp.where(hit, pick_i(jnp.arange(n_tris, dtype=jnp.int32)), 0)
+    if not need_attrs:
+        zero = jnp.zeros_like(best_dist)
+        return HitRecord(
+            hit=hit, dist=best_dist, tri=tri, prim=prim, mat=mat,
+            normal=V3(zero, zero, zero), st_s=zero, st_t=zero,
+        )
+
+    normal = V3(
+        pick_f(scene.tri_normal[:, 0]),
+        pick_f(scene.tri_normal[:, 1]),
+        pick_f(scene.tri_normal[:, 2]),
+    )
+    bu, bv, bw = pick_f(u), pick_f(v), pick_f(w)
+    bdet = bu + bv + bw
+    inv_det = jnp.where(bdet != 0.0, 1.0 / jnp.where(bdet != 0.0, bdet, 1.0), 0.0)
+    st = scene.tri_st
+    st_s = (
+        bu * pick_f(st[:, 0, 0]) + bv * pick_f(st[:, 1, 0]) + bw * pick_f(st[:, 2, 0])
+    ) * inv_det
+    st_t = (
+        bu * pick_f(st[:, 0, 1]) + bv * pick_f(st[:, 1, 1]) + bw * pick_f(st[:, 2, 1])
+    ) * inv_det
+    return HitRecord(
+        hit=hit, dist=best_dist, tri=tri, prim=prim, mat=mat,
+        normal=normal, st_s=st_s, st_t=st_t,
+    )
+
+
 def intersect_rays_dispatch(
     scene: SceneData,
     o: V3,
@@ -298,8 +424,11 @@ def intersect_rays_dispatch(
     impl: str = "auto",
 ) -> HitRecord:
     """Route the closest-hit sweep to the configured implementation."""
-    if resolve_intersect_impl(impl) == "pallas":
+    r = resolve_intersect_impl(impl)
+    if r == "pallas":
         return intersect_rays_pallas(scene, o, d, ignore_prim, eps, need_attrs)
+    if r == "xla2":
+        return intersect_rays_soa2(scene, o, d, ignore_prim, eps, need_attrs)
     return intersect_rays_soa(scene, o, d, ignore_prim, eps, need_attrs)
 
 

@@ -25,6 +25,9 @@ ours runs on the forced-CPU test backend).
 
 from __future__ import annotations
 
+import json
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -83,35 +86,63 @@ def _compare(ref_srgb, ours_srgb, ch_tol, blk_mean_tol, blk_p95_tol, px_p99_tol)
     return stats
 
 
-# (mode, scene, spp_ref, spp_ours); all at 64x64 -- smaller + deeper spp
-# converges per-pixel faster than wider frames at the same total cost.
+# (mode, scene, observer, spp_ref, spp_ours); all at 64x64 -- smaller +
+# deeper spp converges per-pixel faster than wider frames at the same cost.
 CONFIGS = [
     # BASELINE config 1 (cornell, classic RGB) at converged spp
-    ("rgb", "cornell", 2048, 1024),
+    ("rgb", "cornell", 1931, 2048, 1024),
     # BASELINE config 2 (cornell-srgb, Mallett-Yuksel hero-wavelength)
-    ("mallett", "cornell-srgb", 2048, 768),
+    ("mallett", "cornell-srgb", 1931, 2048, 768),
+    # CIE 2006 observer: mallett is the one mode the reference can compile
+    # with CIE_OBSERVER 2006 (reference src/stdafx.hpp:82-86,107-109)
+    ("mallett", "cornell-srgb", 2006, 2048, 768),
     # BASELINE config 4 scene (plane-srgb) with Jakob-Hanika: the reference
     # binary loads OUR re-fitted .coeff cube (the upstream blob is missing),
     # so this checks the renderer around the (shared) coefficient table.
-    ("jakob", "plane-srgb", 2048, 768),
+    ("jakob", "plane-srgb", 1931, 2048, 768),
     # Meng et al. 2015 upsampling, cornell-srgb (observer 1931; the reference
     # cannot compile meng+2006, src/stdafx.hpp:107-109)
-    ("meng", "cornell-srgb", 2048, 768),
+    ("meng", "cornell-srgb", 1931, 2048, 768),
 ]
 
+# Two independent RNG streams per config: a marginal systematic error can
+# hide under a single seed's noise margin; it cannot hide under two.
+SEEDS = (7, 1234)
 
-@pytest.mark.parametrize("mode,scene,spp_ref,spp_ours", CONFIGS)
-def test_image_parity_vs_reference(tmp_path, mode, scene, spp_ref, spp_ours):
+_STATS_PATH = os.path.join(os.path.dirname(__file__), "artifacts",
+                           "parity_stats.json")
+
+
+def _record_stats(key: str, stats: dict) -> None:
+    """Persist measured parity error metrics as a committed artifact so the
+    tolerances can be tightened from recorded data (idempotent per key)."""
+    os.makedirs(os.path.dirname(_STATS_PATH), exist_ok=True)
+    data = {}
+    if os.path.exists(_STATS_PATH):
+        with open(_STATS_PATH) as f:
+            data = json.load(f)
+    data[key] = stats
+    with open(_STATS_PATH, "w") as f:
+        json.dump(dict(sorted(data.items())), f, indent=1)
+        f.write("\n")
+
+
+@pytest.mark.parametrize("mode,scene,observer,spp_ref,spp_ours", CONFIGS)
+def test_image_parity_vs_reference(tmp_path, mode, scene, observer, spp_ref,
+                                   spp_ours):
     w = h = 64
-    ref_csv = run_reference(mode, scene, w, h, spp_ref, tmp_path / "ref.csv")
+    ref_csv = run_reference(mode, scene, w, h, spp_ref, tmp_path / "ref.csv",
+                            observer=observer)
     ref_lrgb = load_reference_csv(ref_csv, w, h)[::-1]  # bottom-to-top
     ref_srgb = lrgb_to_srgb_np(ref_lrgb)
 
-    cfg = RenderConfig(scene=scene, mode=mode, width=w, height=h, spp=spp_ours)
-    ours_srgb = _render_ours_srgb(cfg)
-
-    stats = _compare(
-        ref_srgb, ours_srgb,
-        ch_tol=0.015, blk_mean_tol=0.02, blk_p95_tol=0.06, px_p99_tol=0.20,
-    )
-    print(f"{mode}/{scene} {w}x{h}: {stats}")
+    cfg = RenderConfig(scene=scene, mode=mode, width=w, height=h,
+                       spp=spp_ours, observer=observer)
+    for seed in SEEDS:
+        ours_srgb = _render_ours_srgb(cfg, seed=seed)
+        stats = _compare(
+            ref_srgb, ours_srgb,
+            ch_tol=0.015, blk_mean_tol=0.02, blk_p95_tol=0.06, px_p99_tol=0.20,
+        )
+        _record_stats(f"{mode}-{scene}-{observer}-seed{seed}", stats)
+        print(f"{mode}/{scene}/{observer} seed={seed} {w}x{h}: {stats}")

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from simple_spectral_tpu.render.intersect import (
     intersect_rays_pallas,
     intersect_rays_soa,
+    intersect_rays_soa2,
 )
 from simple_spectral_tpu.render.intersect_pallas import intersect_best_key
 from simple_spectral_tpu.render.vec import V3
@@ -50,6 +51,10 @@ def main():
     variants = {
         "xla attrs": lambda oo: intersect_rays_soa(scene, oo, d, ign, 1e-3).dist,
         "xla noattrs": lambda oo: intersect_rays_soa(
+            scene, oo, d, ign, 1e-3, need_attrs=False
+        ).dist,
+        "xla2 attrs": lambda oo: intersect_rays_soa2(scene, oo, d, ign, 1e-3).dist,
+        "xla2 noattrs": lambda oo: intersect_rays_soa2(
             scene, oo, d, ign, 1e-3, need_attrs=False
         ).dist,
         "pallas key only": lambda oo: intersect_best_key(

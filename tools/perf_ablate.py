@@ -137,6 +137,10 @@ def main():
         guarded(bench_step, "FWD+BWD cornell mallett (no texture)", RenderConfig(scene="cornell", mode="mallett", **base))
         guarded(bench_step, "FWD+BWD cornell-srgb rgb", RenderConfig(scene="cornell-srgb", mode="rgb", **base))
         guarded(bench_step, "FWD+BWD canonical no remat_cache", canon.replace(remat_cache=False))
+        guarded(bench_step, "FWD-only canonical intersect=xla2",
+                canon.replace(intersect_impl="xla2"), fwd_only=True)
+        guarded(bench_step, "FWD+BWD canonical intersect=xla2",
+                canon.replace(intersect_impl="xla2"))
 
     if "bwd" in groups:
         # isolate WHERE the ~105 ms backward (stripped) goes: spectra
