@@ -28,11 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cornell | cornell-srgb | plane-srgb")
     p.add_argument("-w", "--width", type=int, default=512)
     p.add_argument("-h", "--height", type=int, default=512)
-    p.add_argument("-spp", "--spp", type=int, default=64,
-                   help="samples per pixel")
+    p.add_argument("-spp", "--spp", "--samples", type=int, default=64,
+                   help="samples per pixel (reference --samples/-spp)")
     p.add_argument("-o", "--output", default="output.png",
                    help="output path; format by extension: .png .pfm .hdr .csv")
-    p.add_argument("--indirect-only", action="store_true",
+    p.add_argument("-io", "--indirect-only", action="store_true",
                    help="render only indirect light (reference src/renderer.hpp:24)")
     # the reference's compile-time tier, now runtime
     p.add_argument("--mode", default="mallett", choices=ALL_MODES,
