@@ -133,35 +133,25 @@ def main(argv=None) -> int:
     sharded = args.sharded or args.sp > 1 or multihost
     t0 = time.time()
 
-    if sharded:
-        # mesh-parallel render: whole image as one dp x sp sharded
-        # accumulation (no progressive passes/preview on this path yet)
+    if multihost:
+        # multi-host render: whole image as one dp x sp sharded accumulation
+        # per chunk, all-gathered across hosts (no progressive passes here)
         import jax
 
+        from simple_spectral_tpu.parallel.multihost import (
+            render_accumulate_multihost,
+        )
         from simple_spectral_tpu.render.renderer import finalize_srgb
         from simple_spectral_tpu.scene.library import build_scene
         from simple_spectral_tpu.spectra.colorimetry import build_color_tables
 
         tables = build_color_tables(cfg)
         scene = build_scene(cfg, tables)
-        if multihost:
-            from simple_spectral_tpu.parallel.multihost import (
-                render_accumulate_multihost,
-            )
-
-            value, alpha = render_accumulate_multihost(
-                cfg, scene, tables, sp=args.sp, seed=args.seed
-            )
-        else:
-            from simple_spectral_tpu.parallel.sharding import (
-                make_mesh,
-                render_accumulate_sharded,
-            )
-
-            mesh = make_mesh(sp=args.sp)
-            value, alpha = render_accumulate_sharded(cfg, scene, tables, mesh, seed=args.seed)
+        value, alpha = render_accumulate_multihost(
+            cfg, scene, tables, sp=args.sp, seed=args.seed
+        )
         dt = time.time() - t0
-        if not multihost or jax.process_index() == 0:
+        if jax.process_index() == 0:
             save_image(args.output, finalize_srgb(cfg, tables, value, alpha))
         if not args.quiet:
             n_dev = len(jax.devices())
@@ -171,8 +161,16 @@ def main(argv=None) -> int:
 
     from simple_spectral_tpu.render.progressive import ProgressiveRenderer
 
+    mesh = None
+    if sharded:
+        # single-process mesh parallelism rides the progressive renderer, so
+        # --sharded composes with --checkpoint and --window
+        from simple_spectral_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(sp=args.sp)
     pr = ProgressiveRenderer(
-        cfg, seed=args.seed, checkpoint_path=args.checkpoint, spp_per_pass=args.pass_spp
+        cfg, seed=args.seed, checkpoint_path=args.checkpoint,
+        spp_per_pass=args.pass_spp, mesh=mesh,
     )
     if args.checkpoint and pr.resume():
         print(f"resumed from {args.checkpoint} at {pr.spp_done} spp", file=sys.stderr)

@@ -39,8 +39,13 @@ from simple_spectral_tpu.utils.metrics import RenderMetrics
 _CKPT_VERSION = 1
 
 
-def _cfg_fingerprint(cfg: RenderConfig) -> str:
-    return json.dumps(dataclasses.asdict(cfg), sort_keys=True)
+def _cfg_fingerprint(cfg: RenderConfig, mesh=None) -> str:
+    d = dataclasses.asdict(cfg)
+    if mesh is not None:
+        # sample streams derive from (dp, sp) shard indices, so bitwise
+        # resume is only valid on the same mesh factorization
+        d["_mesh"] = dict(mesh.shape)
+    return json.dumps(d, sort_keys=True)
 
 
 class ProgressiveRenderer:
@@ -63,6 +68,7 @@ class ProgressiveRenderer:
         checkpoint_path: Optional[str] = None,
         spp_per_pass: int = 4,
         native: Optional[bool] = None,
+        mesh=None,
     ):
         from simple_spectral_tpu.scene.library import build_scene
         from simple_spectral_tpu.spectra.colorimetry import build_color_tables
@@ -73,6 +79,16 @@ class ProgressiveRenderer:
         self.seed = seed
         self.checkpoint_path = checkpoint_path
         self.spp_per_pass = max(1, min(spp_per_pass, cfg.spp))
+        # Optional jax.sharding.Mesh: passes render on the dp x sp device
+        # mesh (parallel/sharding.py) instead of single-device, composing
+        # mesh parallelism with checkpoint/resume and the live preview.
+        # Resume determinism holds per mesh shape (sample streams derive
+        # from (seed, pass, chunk, dp/sp shard index)).
+        self.mesh = mesh
+        if mesh is not None and mesh.shape["sp"] > 1:
+            assert self.spp_per_pass % mesh.shape["sp"] == 0, (
+                "spp_per_pass must divide by the sp mesh axis"
+            )
         self.metrics = RenderMetrics(cfg)
 
         # Accumulation backend: the native C++ runtime (f64 accumulator +
@@ -112,7 +128,7 @@ class ProgressiveRenderer:
         if self._fb is not None:
             with open(self._sidecar(path), "w") as f:
                 json.dump(
-                    {"version": _CKPT_VERSION, "cfg": _cfg_fingerprint(self.cfg),
+                    {"version": _CKPT_VERSION, "cfg": _cfg_fingerprint(self.cfg, self.mesh),
                      "seed": self.seed}, f,
                 )
             self._fb.checkpoint_async(path)
@@ -123,7 +139,7 @@ class ProgressiveRenderer:
         np.savez_compressed(
             tmp,
             version=_CKPT_VERSION,
-            cfg=_cfg_fingerprint(self.cfg),
+            cfg=_cfg_fingerprint(self.cfg, self.mesh),
             seed=self.seed,
             spp_done=self._spp_done,
             sum_value=self._sum_value,
@@ -142,7 +158,7 @@ class ProgressiveRenderer:
                 meta = json.load(f)
             if int(meta["version"]) != _CKPT_VERSION:
                 raise ValueError(f"checkpoint version {meta['version']} != {_CKPT_VERSION}")
-            if meta["cfg"] != _cfg_fingerprint(self.cfg):
+            if meta["cfg"] != _cfg_fingerprint(self.cfg, self.mesh):
                 raise ValueError("checkpoint was produced by a different RenderConfig")
             if int(meta["seed"]) != self.seed:
                 raise ValueError("checkpoint seed differs")
@@ -152,7 +168,7 @@ class ProgressiveRenderer:
         z = np.load(path, allow_pickle=False)
         if int(z["version"]) != _CKPT_VERSION:
             raise ValueError(f"checkpoint version {z['version']} != {_CKPT_VERSION}")
-        if str(z["cfg"]) != _cfg_fingerprint(self.cfg):
+        if str(z["cfg"]) != _cfg_fingerprint(self.cfg, self.mesh):
             raise ValueError("checkpoint was produced by a different RenderConfig")
         if int(z["seed"]) != self.seed:
             raise ValueError("checkpoint seed differs")
@@ -169,9 +185,16 @@ class ProgressiveRenderer:
         cfg = self.cfg
         pass_spp = pass_spp or min(self.spp_per_pass, cfg.spp - self.spp_done)
         assert pass_spp > 0
+        if self.mesh is not None:
+            assert pass_spp % self.mesh.shape["sp"] == 0, (
+                "pass spp must divide by the sp mesh axis; choose spp/"
+                "spp_per_pass multiples of sp"
+            )
         pass_idx = self.spp_done  # unique stream id per sample offset
         n_px = cfg.width * cfg.height
+        dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         px_per_chunk = max(1, min(n_px, cfg.max_lanes))
+        px_per_chunk -= px_per_chunk % dp or 0
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1 + pass_idx)
         t0 = time.time()
         for c in range((n_px + px_per_chunk - 1) // px_per_chunk):
@@ -179,7 +202,21 @@ class ProgressiveRenderer:
             hi = min(lo + px_per_chunk, n_px)
             px = jnp.arange(lo, hi, dtype=jnp.int32)
             ck = jax.random.fold_in(key, c)
-            sum_v, sum_a = _render_chunk(self.scene, self.tables, cfg, ck, px, pass_spp)
+            if self.mesh is not None:
+                from simple_spectral_tpu.parallel.sharding import (
+                    _pad_to,
+                    _sharded_chunk,
+                )
+
+                px, n_real = _pad_to(px, dp)
+                sum_v, sum_a = _sharded_chunk(
+                    self.scene, self.tables, cfg, ck, px,
+                    mesh=self.mesh, spp=pass_spp,
+                )
+                sum_v = np.asarray(sum_v)[:n_real]
+                sum_a = np.asarray(sum_a)[:n_real]
+            else:
+                sum_v, sum_a = _render_chunk(self.scene, self.tables, cfg, ck, px, pass_spp)
             if self._fb is not None:
                 self._fb.add_chunk(lo, np.asarray(sum_v), np.asarray(sum_a))
             else:

@@ -86,3 +86,55 @@ def test_native_and_numpy_backends_agree(setup):
     fb = b.image()[::-1]
     ub = np.clip(np.round(fb * 255.0), 0, 255).astype(np.uint8)
     assert np.abs(ua.astype(int) - ub.astype(int)).max() <= 1
+
+
+def test_sharded_progressive_resume_bitwise(setup, tmp_path):
+    """Progressive rendering on a dp x sp mesh: interrupted + resumed equals
+    uninterrupted bitwise (same mesh => same per-shard streams), and the
+    checkpoint refuses a different mesh factorization."""
+    from simple_spectral_tpu.parallel.sharding import make_mesh
+
+    cfg, scene, tables = setup
+    mesh = make_mesh(sp=2)
+    ckpt = str(tmp_path / "s.ckpt.npz")
+
+    a = ProgressiveRenderer(cfg, scene, tables, seed=9, spp_per_pass=2, mesh=mesh)
+    a.run()
+    va, aa = a.mean_value()
+    assert a.spp_done == cfg.spp and np.isfinite(va).all()
+
+    b1 = ProgressiveRenderer(cfg, scene, tables, seed=9, checkpoint_path=ckpt,
+                             spp_per_pass=2, mesh=mesh)
+    b1.run_pass()
+    b1.save_checkpoint()
+    b2 = ProgressiveRenderer(cfg, scene, tables, seed=9, checkpoint_path=ckpt,
+                             spp_per_pass=2, mesh=mesh)
+    assert b2.resume() and b2.spp_done == 2
+    b2.run()
+    vb, _ = b2.mean_value()
+    assert np.array_equal(va, vb), np.abs(va - vb).max()
+
+    other = ProgressiveRenderer(cfg, scene, tables, seed=9, checkpoint_path=ckpt,
+                                spp_per_pass=2, mesh=make_mesh(sp=1))
+    with pytest.raises(ValueError, match="different RenderConfig"):
+        other.resume()
+
+
+def test_sharded_progressive_estimate_sane(setup):
+    """The mesh estimate must converge to the single-device estimate (same
+    scene, independent streams): means agree to MC tolerance."""
+    from simple_spectral_tpu.parallel.sharding import make_mesh
+
+    cfg, scene, tables = setup
+    cfg = cfg.replace(spp=64)
+    a = ProgressiveRenderer(cfg, scene, tables, seed=3, spp_per_pass=16)
+    a.run()
+    va, aa = a.mean_value()
+    b = ProgressiveRenderer(cfg, scene, tables, seed=3, spp_per_pass=16,
+                            mesh=make_mesh(sp=2))
+    b.run()
+    vb, ab = b.mean_value()
+    # alpha is camera-hit probability: deterministic-ish per pixel
+    np.testing.assert_allclose(aa, ab, atol=0.35)
+    scale = max(va.mean(), 1e-6)
+    assert np.abs(va.mean(axis=(0, 1)) - vb.mean(axis=(0, 1))).max() / scale < 0.1
