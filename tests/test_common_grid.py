@@ -49,7 +49,11 @@ def test_grid_found_and_paths_agree(scene_name, observer):
     for key in ("albedo", "emission"):
         a, b = np.asarray(fast[key]), np.asarray(slow[key])
         scale = max(np.abs(b).max(), 1e-6)
-        np.testing.assert_allclose(a / scale, b / scale, atol=2e-6,
+        # the two formulations evaluate the hat argument at different float
+        # magnitudes (shifted window ~R vs full lattice coordinate ~Kc), so
+        # they agree only to ulp(Kc) ~ 8e-6 in the weights -- the shifted
+        # form is the lower-magnitude (more accurate) one
+        np.testing.assert_allclose(a / scale, b / scale, atol=1.5e-5,
                                    err_msg=f"{scene_name}/{observer}/{key}")
 
 
