@@ -298,8 +298,7 @@ def trace_lanes(
     (o, d, ignore, alive, camera_hit) = carry
     final_dead = cfg.els and cfg.max_depth > 1
     if final_dead:
-        final_emit_w = jnp.zeros((n,), jnp.float32)
-        final_mat = jnp.zeros((n,), jnp.int32)
+        final_emit_w = final_mat = None  # final term statically dropped
     else:
         rec = intersect_rays_dispatch(
             scene, o, d, ignore, cfg.eps, need_attrs=False, impl=cfg.intersect_impl
@@ -311,50 +310,41 @@ def trace_lanes(
         final_mat = rec.mat
 
     # ------------------------------------------------------------------ #
-    # Phase 2: shading.  Straight-line; all bounces' material selections   #
-    # run as ONE batched contraction so the [M, S, N] per-lane spectra     #
-    # cache is read once, not once per bounce (it exceeds VMEM, so         #
-    # per-bounce einsums would stream it from HBM 3x per bounce).          #
+    # Phase 2: shading.  Straight-line; material selection per bounce is an
+    # unrolled masked SUM over the M material rows, fused by XLA into the
+    # consuming radiance/throughput updates.  PROFILED choice
+    # (tools/profile_fwd.py, v5e): the previous batched one-hot einsum
+    # ("msn,mdn->dsn") was rewritten by XLA into three [N, D, S] row
+    # gathers plus layout copies -- ~9.7 ms of the 42 ms forward call --
+    # while the M-term masked sum (M = 7 scene materials) is pure fused
+    # VPU selects with no materialized [D, S, N] intermediates.  Gradient
+    # semantics are identical: every material row keeps a live, masked
+    # gradient path (tests/test_gradients.py checks non-hit entries too).
+    # Past M ~ a few dozen a contraction would win again; revisit with BVH
+    # -scale scenes.
     # ------------------------------------------------------------------ #
     m = scene.materials
-    _HI = jax.lax.Precision.HIGHEST
-    D = cfg.max_depth
 
-    if n_bounces > 0:
-        mats_all = jnp.concatenate([recs.mat, final_mat[None, :]], axis=0)  # [D, N]
-    else:
-        mats_all = final_mat[None, :]
-    oh_all = (
-        jax.lax.broadcasted_iota(jnp.int32, (m.n_materials, 1, 1), 0)
-        == mats_all[None, :, :]
-    ).astype(jnp.float32)  # [M, D, N]
+    def _mat_rows(table, mat_k):
+        """table f32[M, C, N] (per-lane spectra cache) or f32[M, C] (rgb
+        constants); mat_k i32[N] -> f32[C, N] selected rows."""
+        out = None
+        for mi in range(m.n_materials):
+            row = table[mi]
+            if row.ndim == 1:
+                row = row[:, None]  # [C, 1] broadcasts over lanes
+            term = jnp.where((mat_k == mi)[None, :], row, 0.0)
+            out = term if out is None else out + term
+        return out
 
-    if cfg.spectral:
-        emission_all = jnp.einsum(
-            "msn,mdn->dsn", cache["emission"], oh_all, precision=_HI
-        )  # [D, S, N]
-        albedo_const_all = jnp.einsum(
-            "msn,mdn->dsn", cache["albedo"], oh_all, precision=_HI
-        )
-    else:
-        emission_all = jnp.einsum("mc,mdn->dcn", m.emission_rgb, oh_all, precision=_HI)
-        albedo_const_all = jnp.einsum("mc,mdn->dcn", m.albedo_rgb, oh_all, precision=_HI)
-    if cfg.els and n_bounces > 0:
-        oh_shad = (
-            jax.lax.broadcasted_iota(jnp.int32, (m.n_materials, 1, 1), 0)
-            == recs.shad_mat[None, :, :]
-        ).astype(jnp.float32)  # [M, D-1, N]
-        if cfg.spectral:
-            light_emit_all = jnp.einsum(
-                "msn,mdn->dsn", cache["emission"], oh_shad, precision=_HI
-            )
-        else:
-            light_emit_all = jnp.einsum(
-                "mc,mdn->dcn", m.emission_rgb, oh_shad, precision=_HI
-            )
+    emit_table = cache["emission"] if cfg.spectral else m.emission_rgb
+    alb_table = cache["albedo"] if cfg.spectral else m.albedo_rgb
+
+    def emission_of(mat_k):
+        return _mat_rows(emit_table, mat_k)
 
     def albedo_of(k):
-        const = albedo_const_all[k]
+        const = _mat_rows(alb_table, recs.mat[k])
         if not has_tex:
             return const
         texv = texture_albedo_deferred(scene, tables, cfg, cache, recs.tex_idx[k], lam0)
@@ -364,19 +354,23 @@ def trace_lanes(
     beta = jnp.ones((s_dim, n), jnp.float32)
     radiance = jnp.zeros((s_dim, n), jnp.float32)
     for k in range(n_bounces):
-        radiance = radiance + (beta * recs.emit_w[k][None, :]) * emission_all[k]
+        radiance = radiance + (beta * recs.emit_w[k][None, :]) * emission_of(recs.mat[k])
         albedo = albedo_of(k)
         mirror = is_mirror_mask(scene, recs.mat[k])
         if cfg.els:
             # f_s for the light direction: Lambertian albedo/pi; a mirror's
             # delta BRDF cannot be hit by NEE -> 0 (src/material.cpp:146-152)
             f_s_nee = jnp.where(mirror[None, :], 0.0, albedo * (1.0 / PI))
-            radiance = radiance + beta * f_s_nee * light_emit_all[k] * recs.nee_w[k][None, :]
+            light_emit = emission_of(recs.shad_mat[k])
+            radiance = radiance + beta * f_s_nee * light_emit * recs.nee_w[k][None, :]
         # throughput update: f_s = albedo (mirror) | albedo/pi (Lambertian),
         # times n.l/pdf (delta convention already folded into bsdf_w)
         f_fac = jnp.where(mirror[None, :], albedo, albedo * (1.0 / PI))
         beta = beta * f_fac * recs.bsdf_w[k][None, :]
-    radiance = radiance + (beta * final_emit_w[None, :]) * emission_all[D - 1]
+    if not final_dead:
+        # with ELS the final emission gate is statically zero (final_dead)
+        # and the whole term -- selection included -- is dropped.
+        radiance = radiance + (beta * final_emit_w[None, :]) * emission_of(final_mat)
 
     # Flat-field correction (reference src/renderer.cpp:262-266): by default
     # the radiance estimate *is* the flux estimate; otherwise weight by the
