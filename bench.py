@@ -90,7 +90,9 @@ def main():
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     spp = int(os.environ.get("BENCH_SPP", "64"))
-    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", "4"))
+    # spp_chunk=1 measured best after the 1D-shading-layout change (139.6 vs
+    # 133.8 at 4, 84.5 at 2; tools/ablation_r03.json r03b rows)
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", "1"))
     k_calls = int(os.environ.get("BENCH_K", "12"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     cfg = RenderConfig(scene="cornell-srgb", mode="mallett", width=size, height=size, spp=spp)

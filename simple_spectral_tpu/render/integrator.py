@@ -351,35 +351,51 @@ def trace_lanes(
         is_tex = is_textured_mask(scene, recs.mat[k])
         return jnp.where(is_tex[None, :], texv, const)
 
-    beta = jnp.ones((s_dim, n), jnp.float32)
-    radiance = jnp.zeros((s_dim, n), jnp.float32)
+    # The accumulation chain runs on per-wavelength 1D [N] arrays, not
+    # [S, N]: profiling (tools/profile_fwd.py) showed XLA fusing the whole
+    # bounce chain into rank-3 [1, S, N] kLoop fusions laid out T(1,128) --
+    # the size-1 dim becomes the sublane axis and the VPU runs at 1/8
+    # utilization (~2.1 M estimated cycles per fusion).  1D [N] arrays get
+    # the dense T(1024) packed layout like every mask in the loop.  S is 4
+    # (hero wavelengths) or 3 (rgb), so the unroll is small and static.
+    def _unstack(x):
+        return [x[s] for s in range(s_dim)]
+
+    beta = [jnp.ones((n,), jnp.float32) for _ in range(s_dim)]
+    radiance = [jnp.zeros((n,), jnp.float32) for _ in range(s_dim)]
     for k in range(n_bounces):
-        radiance = radiance + (beta * recs.emit_w[k][None, :]) * emission_of(recs.mat[k])
-        albedo = albedo_of(k)
+        emit = _unstack(emission_of(recs.mat[k]))
+        albedo = _unstack(albedo_of(k))
         mirror = is_mirror_mask(scene, recs.mat[k])
         if cfg.els:
-            # f_s for the light direction: Lambertian albedo/pi; a mirror's
-            # delta BRDF cannot be hit by NEE -> 0 (src/material.cpp:146-152)
-            f_s_nee = jnp.where(mirror[None, :], 0.0, albedo * (1.0 / PI))
-            light_emit = emission_of(recs.shad_mat[k])
-            radiance = radiance + beta * f_s_nee * light_emit * recs.nee_w[k][None, :]
-        # throughput update: f_s = albedo (mirror) | albedo/pi (Lambertian),
-        # times n.l/pdf (delta convention already folded into bsdf_w)
-        f_fac = jnp.where(mirror[None, :], albedo, albedo * (1.0 / PI))
-        beta = beta * f_fac * recs.bsdf_w[k][None, :]
+            light_emit = _unstack(emission_of(recs.shad_mat[k]))
+        for s in range(s_dim):
+            radiance[s] = radiance[s] + (beta[s] * recs.emit_w[k]) * emit[s]
+            if cfg.els:
+                # f_s for the light direction: Lambertian albedo/pi; a
+                # mirror's delta BRDF cannot be hit by NEE -> 0
+                # (src/material.cpp:146-152)
+                f_s_nee = jnp.where(mirror, 0.0, albedo[s] * (1.0 / PI))
+                radiance[s] = radiance[s] + beta[s] * f_s_nee * light_emit[s] * recs.nee_w[k]
+            # throughput update: f_s = albedo (mirror) | albedo/pi
+            # (Lambertian), times n.l/pdf (delta convention already folded
+            # into bsdf_w)
+            f_fac = jnp.where(mirror, albedo[s], albedo[s] * (1.0 / PI))
+            beta[s] = beta[s] * f_fac * recs.bsdf_w[k]
     if not final_dead:
         # with ELS the final emission gate is statically zero (final_dead)
         # and the whole term -- selection included -- is dropped.
-        radiance = radiance + (beta * final_emit_w[None, :]) * emission_of(final_mat)
+        emit = _unstack(emission_of(final_mat))
+        for s in range(s_dim):
+            radiance[s] = radiance[s] + (beta[s] * final_emit_w) * emit[s]
 
     # Flat-field correction (reference src/renderer.cpp:262-266): by default
     # the radiance estimate *is* the flux estimate; otherwise weight by the
     # cosine to the camera forward axis.
-    if cfg.flat_field:
-        flux = radiance
-    else:
+    if not cfg.flat_field:
         cosw = dot(cam_dir0, splat(scene.camera.forward, cam_dir0.x))
-        flux = radiance * cosw[None, :]
+        radiance = [r * cosw for r in radiance]
+    flux = jnp.stack(radiance)
 
     if cfg.spectral:
         value = specradflux_to_ciexyz_hero_soa(
