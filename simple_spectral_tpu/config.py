@@ -34,7 +34,7 @@ class RenderConfig:
     """
 
     # --- scene / image (Renderer::Options) ---
-    scene: str = "cornell"  # cornell | cornell-srgb | plane-srgb
+    scene: str = "cornell"  # cornell | cornell-srgb | plane-srgb | cornell-stress
     width: int = 512
     height: int = 512
     spp: int = 64
@@ -72,6 +72,21 @@ class RenderConfig:
     # instead of as a silently black/NaN image.  Costs compile + run time;
     # CPU-debugging aid, off by default.
     debug_checks: bool = False
+    # --- BVH-scale scenes (new; the reference's largest scene is 38 tris
+    # and it has no acceleration structure, reference src/scene.cpp:433-445).
+    # A BVH is built at scene build when the primitive count reaches
+    # bvh_threshold (then intersect_impl="auto" resolves to the traversal
+    # arm, render/bvh.py); the cornell-stress scene adds stress_boxes random
+    # rotated boxes (10 tris each) and stress_spheres spheres on top of the
+    # cornell base, with stress_materials extra random Lambertian/mirror
+    # materials.
+    bvh_threshold: int = 512
+    bvh_leaf_size: int = 4
+    stress_boxes: int = 1000
+    stress_spheres: int = 500
+    stress_materials: int = 16
+    stress_seed: int = 1234
+
     # Texture used by cornell-srgb / plane-srgb.  The reference points at a
     # 4096^2 texture missing from its own checkout (reference
     # src/scene.cpp:292 and .MISSING_LARGE_BLOBS); the in-repo 512^2 texture
@@ -87,8 +102,8 @@ class RenderConfig:
             raise ValueError("n_wavelengths must be >= 1")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
-        if self.intersect_impl not in ("auto", "xla", "xla2", "pallas"):
-            raise ValueError("intersect_impl must be auto | xla | xla2 | pallas")
+        if self.intersect_impl not in ("auto", "xla", "xla2", "pallas", "bvh"):
+            raise ValueError("intersect_impl must be auto | xla | xla2 | pallas | bvh")
         # The reference refuses non-"Ours" + CIE 2006 at compile time
         # (src/stdafx.hpp:107-109).  We *support* it (documented extension):
         # meng/jakob table coverage is clamped to their fitted range.

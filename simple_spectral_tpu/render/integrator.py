@@ -54,6 +54,7 @@ from simple_spectral_tpu.render.shading import (
     is_mirror_mask,
     is_textured_mask,
     material_onehot,
+    MAT_ROWS_CONTRACTION_THRESHOLD,
     precompute_basis_hero,
     precompute_constant_spectra,
     sample_bsdf_direction,
@@ -327,7 +328,22 @@ def trace_lanes(
 
     def _mat_rows(table, mat_k):
         """table f32[M, C, N] (per-lane spectra cache) or f32[M, C] (rgb
-        constants); mat_k i32[N] -> f32[C, N] selected rows."""
+        constants); mat_k i32[N] -> f32[C, N] selected rows.
+
+        Two forms, switched on M (advisor round-3 item 2): the masked sum is
+        the profiled winner at scene scale (M ~ 7, see block comment above)
+        but is O(M) sequential selects; past MAT_ROWS_CONTRACTION_THRESHOLD
+        materials (BVH-scale scenes) selection becomes ONE one-hot einsum --
+        dense MXU/VPU contraction whose cost is a single fused op regardless
+        of M.  Exactly one one-hot term is nonzero per lane, so the f32
+        contraction is exact; gradient flow is identical."""
+        if m.n_materials > MAT_ROWS_CONTRACTION_THRESHOLD:
+            oh = material_onehot(m.n_materials, mat_k)  # f32[M, N]
+            if table.ndim == 2:  # rgb constants f32[M, C]
+                return jnp.einsum("mc,mn->cn", table, oh,
+                                  precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum("mcn,mn->cn", table, oh,
+                              precision=jax.lax.Precision.HIGHEST)
         out = None
         for mi in range(m.n_materials):
             row = table[mi]

@@ -148,10 +148,11 @@ def intersect_rays_soa(
     mat = jnp.where(hit, pick_i(scene.tri_mat), 0)
     if not need_attrs:
         zero = jnp.zeros_like(best_dist)
-        return HitRecord(
+        rec = HitRecord(
             hit=hit, dist=best_dist, tri=best, prim=prim, mat=mat,
             normal=V3(zero, zero, zero), st_s=zero, st_t=zero,
         )
+        return _merge_spheres_soa(scene, o, d, ignore_prim, eps, rec, need_attrs)
     normal = V3(
         pick_f(scene.tri_normal[:, 0]),
         pick_f(scene.tri_normal[:, 1]),
@@ -173,25 +174,110 @@ def intersect_rays_soa(
         bu * pick_f(st[:, 0, 1]) + bv * pick_f(st[:, 1, 1]) + bw * pick_f(st[:, 2, 1])
     ) * inv_det
 
-    return HitRecord(
+    rec = HitRecord(
         hit=hit, dist=best_dist, tri=best, prim=prim, mat=mat,
+        normal=normal, st_s=st_s, st_t=st_t,
+    )
+    return _merge_spheres_soa(scene, o, d, ignore_prim, eps, rec, need_attrs)
+
+
+def _merge_spheres_soa(
+    scene: SceneData, o: V3, d: V3, ignore_prim, eps: float,
+    tri_rec: HitRecord, need_attrs: bool,
+) -> HitRecord:
+    """Dense [Sp, N] sphere sweep merged into the triangle closest hit.
+
+    The brute-force analog of the BVH's sphere test (render/bvh.py) for
+    small scenes and for the BVH parity oracle: every sphere against every
+    lane as pure VPU work, closest root >= eps, masked min, one-hot
+    attribute reduction.  No-op when the scene has no spheres (the three
+    reference scenes).  Directions must be unit length (sphere quadratic
+    assumes |d| = 1, as everywhere in the integrator).
+    """
+    if not scene.n_spheres:
+        return tri_rec
+    c = scene.sphere_center  # f32[Sp, 3]
+    ocx = o.x[None, :] - c[:, 0][:, None]  # [Sp, N]
+    ocy = o.y[None, :] - c[:, 1][:, None]
+    ocz = o.z[None, :] - c[:, 2][:, None]
+    r2 = (scene.sphere_radius * scene.sphere_radius)[:, None]
+    bq = ocx * d.x[None, :] + ocy * d.y[None, :] + ocz * d.z[None, :]
+    cq = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = bq * bq - cq
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    near = -bq - sq
+    far = -bq + sq
+    dist = jnp.where(near >= eps, near, far)
+    not_ign = scene.sphere_prim[:, None] != ignore_prim[None, :]
+    valid = (disc > 0.0) & (dist >= eps) & not_ign
+    dist = jnp.where(valid, dist, INF)
+
+    s_best = jnp.min(dist, axis=0)  # f32[N]
+    s_hit = jnp.isfinite(s_best)
+    wins = s_best < tri_rec.dist  # sphere closer than best triangle
+    n_sp = c.shape[0]
+    s_idx = jnp.argmin(dist, axis=0).astype(jnp.int32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (n_sp, 1), 0)
+    oh = iota_s == s_idx[None, :]
+
+    def pick_i(col):
+        return jnp.max(jnp.where(oh, col[:, None], -1), axis=0)
+
+    hit = tri_rec.hit | s_hit
+    best = jnp.where(wins, s_best, tri_rec.dist)
+    prim = jnp.where(wins, pick_i(scene.sphere_prim), tri_rec.prim)
+    mat = jnp.where(wins, pick_i(scene.sphere_mat), tri_rec.mat)
+    tri = jnp.where(wins, 0, tri_rec.tri)
+    if not need_attrs:
+        return HitRecord(
+            hit=hit, dist=best, tri=tri, prim=prim, mat=mat,
+            normal=tri_rec.normal, st_s=tri_rec.st_s, st_t=tri_rec.st_t,
+        )
+
+    def pick_f(col):
+        return jnp.sum(jnp.where(oh, col[:, None], 0.0), axis=0)
+
+    cx, cy, cz = pick_f(c[:, 0]), pick_f(c[:, 1]), pick_f(c[:, 2])
+    rad = pick_f(scene.sphere_radius)
+    safe = jnp.where(s_hit, s_best, 0.0)
+    inv_r = 1.0 / jnp.maximum(rad, 1e-30)
+    snx = (o.x + safe * d.x - cx) * inv_r
+    sny = (o.y + safe * d.y - cy) * inv_r
+    snz = (o.z + safe * d.z - cz) * inv_r
+    # equirectangular sphere ST (extension; see render/bvh.py)
+    sph_s = 0.5 + jnp.arctan2(snz, snx) / (2.0 * jnp.pi)
+    sph_t = 0.5 - jnp.arcsin(jnp.clip(sny, -1.0, 1.0)) / jnp.pi
+    normal = V3(
+        jnp.where(wins, snx, tri_rec.normal.x),
+        jnp.where(wins, sny, tri_rec.normal.y),
+        jnp.where(wins, snz, tri_rec.normal.z),
+    )
+    st_s = jnp.where(wins, sph_s, tri_rec.st_s)
+    st_t = jnp.where(wins, sph_t, tri_rec.st_t)
+    return HitRecord(
+        hit=hit, dist=best, tri=tri, prim=prim, mat=mat,
         normal=normal, st_s=st_s, st_t=st_t,
     )
 
 
-def resolve_intersect_impl(impl: str) -> str:
-    """'auto' -> the XLA [T, N] sweep on every backend.
+def resolve_intersect_impl(impl: str, scene=None) -> str:
+    """'auto' -> the XLA [T, N] sweep for the small built-in scenes; the BVH
+    traversal when the scene was built with one (scene/library.py builds a
+    BVH once the primitive count crosses cfg.bvh_threshold).
 
     Measured on v5e (tools/bench_intersect_micro.py, 262144 rays, cornell's
     38 tris): the XLA sweep runs at 826 Mrays/s vs 287 for the Pallas MXU
     best-key kernel alone -- at T=38 the kernel is DMA/epilogue-bound and the
     fat [T, N] VPU sweep is simply fast -- and the wrapper's per-lane
-    attribute gathers collapse to 10 Mrays/s.  Intersection is ~14% of the
-    full forward step, so 'auto' stays on XLA until scenes grow enough tris
-    for the MXU projection to dominate; 'pallas' remains selectable and
-    parity-tested (tests/test_intersect_pallas.py, tools/check_pallas_tpu.py).
+    attribute gathers collapse to 10 Mrays/s.  The dense sweep is O(T * N),
+    so past a few hundred primitives the O(log T)-per-ray BVH walk wins
+    (tools/bench_bvh_micro.py records the crossover); 'pallas' remains
+    selectable and parity-tested (tests/test_intersect_pallas.py,
+    tools/check_pallas_tpu.py).
     """
     if impl == "auto":
+        if scene is not None and scene.bvh_nodes is not None:
+            return "bvh"
         return "xla"
     return impl
 
@@ -424,7 +510,18 @@ def intersect_rays_dispatch(
     impl: str = "auto",
 ) -> HitRecord:
     """Route the closest-hit sweep to the configured implementation."""
-    r = resolve_intersect_impl(impl)
+    r = resolve_intersect_impl(impl, scene)
+    if r == "bvh":
+        from simple_spectral_tpu.render.bvh import intersect_rays_bvh
+
+        if scene.bvh_nodes is None:
+            raise ValueError(
+                "intersect_impl='bvh' but the scene has no BVH (built when "
+                "primitive count >= cfg.bvh_threshold, scene/library.py)"
+            )
+        return intersect_rays_bvh(scene, o, d, ignore_prim, eps, need_attrs)
+    if r in ("pallas", "xla2") and scene.n_spheres:
+        raise ValueError(f"intersect_impl={r!r} does not support spheres; use bvh/xla")
     if r == "pallas":
         return intersect_rays_pallas(scene, o, d, ignore_prim, eps, need_attrs)
     if r == "xla2":

@@ -34,6 +34,11 @@ from simple_spectral_tpu.spectra.colorimetry import ColorTables
 PI = 3.14159265358979323846
 _HI = jax.lax.Precision.HIGHEST  # color math must not drop to bf16
 
+# Material-row selection switches from the O(M) masked sum (profiled winner
+# at reference scene scale, M ~ 7) to a one-hot contraction above this many
+# materials (render/integrator.py _mat_rows; advisor round-3 item 2).
+MAT_ROWS_CONTRACTION_THRESHOLD = 12
+
 
 def material_onehot(n_materials: int, mat):
     """i32[N] -> f32[M, N] one-hot."""

@@ -40,7 +40,7 @@ from simple_spectral_tpu.scene.types import (
 from simple_spectral_tpu.spectra.colorimetry import ColorTables
 from simple_spectral_tpu.spectra.spectrum import Spectrum, load_spectral_csv, data_path
 
-SCENE_NAMES = ("cornell", "cornell-srgb", "plane-srgb")
+SCENE_NAMES = ("cornell", "cornell-srgb", "plane-srgb", "cornell-stress")
 
 
 def _common_grid_resample(specs, k_pad: int, lambda_min: float, lambda_max: float):
@@ -130,6 +130,7 @@ class _Builder:
         self.materials: List[_HostMaterial] = []
         self.mat_names: dict = {}
         self.quads: List[tuple] = []  # (mat_id, verts f64[4,3], sts f64[4,2])
+        self.spheres: List[tuple] = []  # (mat_id, center f64[3], radius)
         self.texture: Optional[np.ndarray] = None
 
     def add_material(self, name: str, mat: _HostMaterial) -> int:
@@ -142,6 +143,12 @@ class _Builder:
         verts = np.asarray([v00, v10, v11, v01], dtype=np.float64)
         sts = np.asarray([st00, st10, st11, st01], dtype=np.float64)
         self.quads.append((mat, verts, sts))
+
+    def add_sphere(self, mat: int, center, radius: float):
+        """Sphere primitive (north-star extension; the reference has none --
+        its SphereBound type backs only dead code, src/scene.cpp:420-425).
+        Sphere materials must be non-emissive: NEE samples quad lights only."""
+        self.spheres.append((mat, np.asarray(center, np.float64), float(radius)))
 
     def const_spectrum(self, value: float) -> Spectrum:
         """Constant spectrum over [LAMBDA_MIN, LAMBDA_MAX] (reference
@@ -243,6 +250,51 @@ class _Builder:
 
         assert light_prims, "scene must have at least one light (reference src/scene.cpp:30)"
 
+        # --- spheres (primitive ids continue after the quads) ---
+        n_spheres = len(self.spheres)
+        sphere_kw = {}
+        sp_center = sp_radius = sp_prim = sp_mat = None
+        if n_spheres:
+            for mat_id, _, _ in self.spheres:
+                assert not emissive[mat_id], (
+                    "sphere lights unsupported: NEE samples quad lights only"
+                )
+            sp_center = np.asarray([c for _, c, _ in self.spheres], np.float64)
+            sp_radius = np.asarray([r for _, _, r in self.spheres], np.float64)
+            sp_mat = np.asarray([m for m, _, _ in self.spheres], np.int32)
+            sp_prim = np.arange(
+                len(self.quads), len(self.quads) + n_spheres, dtype=np.int32
+            )
+            sphere_kw = dict(
+                sphere_center=jnp.asarray(sp_center, jnp.float32),
+                sphere_radius=jnp.asarray(sp_radius, jnp.float32),
+                sphere_prim=jnp.asarray(sp_prim),
+                sphere_mat=jnp.asarray(sp_mat),
+            )
+
+        # --- BVH: built once the primitive count outgrows the dense sweep
+        # (or when explicitly forced via cfg.intersect_impl="bvh") ---
+        bvh_kw = {}
+        n_bvh_entries = 0
+        want_bvh = (
+            cfg.intersect_impl == "bvh"
+            or len(tri_mat) + n_spheres >= cfg.bvh_threshold
+        )
+        if want_bvh:
+            from simple_spectral_tpu.render.bvh import build_bvh_arrays
+
+            nodes, entry_ref, entry_mat = build_bvh_arrays(
+                tv, np.asarray(tri_prim, np.int32), np.asarray(tri_mat, np.int32),
+                sp_center, sp_radius, sp_prim, sp_mat,
+                leaf_size=cfg.bvh_leaf_size,
+            )
+            n_bvh_entries = nodes.shape[0]
+            bvh_kw = dict(
+                bvh_nodes=jnp.asarray(nodes),
+                bvh_entry_ref=jnp.asarray(entry_ref),
+                bvh_entry_mat=jnp.asarray(entry_mat),
+            )
+
         camera = self._camera()
         tex_rows = None
         if self.texture is not None:
@@ -274,9 +326,13 @@ class _Builder:
             materials=materials,
             camera=camera,
             texture=tex_rows,
+            **sphere_kw,
+            **bvh_kw,
             n_tris=len(tri_mat),
-            n_prims=len(self.quads),
+            n_prims=len(self.quads) + n_spheres,
             n_lights=len(light_prims),
+            n_spheres=n_spheres,
+            n_bvh_entries=n_bvh_entries,
             name=name,
             tex_res=(
                 (int(self.texture.shape[1]), int(self.texture.shape[0]))
@@ -509,6 +565,74 @@ def _plane_srgb(cfg: RenderConfig, tables: ColorTables) -> SceneData:
     return b.finish("plane-srgb")
 
 
+def _cornell_stress(cfg: RenderConfig, tables: ColorTables) -> SceneData:
+    """Procedural BVH-scale stress scene (no reference analog: the largest
+    reference scene is 38 triangles, src/scene.cpp:107-282, and its linear
+    intersect loop never needed more).  The cornell base (walls + light +
+    the two blocks) plus cfg.stress_boxes random rotated boxes (5 quads =
+    10 tris each) and cfg.stress_spheres spheres, using cfg.stress_materials
+    extra random materials (7/8 Lambertian with random piecewise-constant
+    spectra, 1/8 mirrors).  Deterministic in cfg.stress_seed.
+
+    Defaults give ~10.5k primitives; stress_boxes=10000 reaches ~100k tris.
+    The brute-force dense sweep runs unchanged on this scene (oracle for
+    tests/test_bvh.py); cfg.intersect_impl="auto" resolves to the BVH arm.
+    """
+    b = _cornell_builder(cfg, tables)
+    spectral = cfg.spectral
+    rng = np.random.default_rng(cfg.stress_seed)
+
+    mat_ids = []
+    for i in range(cfg.stress_materials):
+        mirror = (i % 8) == 7
+        if spectral:
+            # random piecewise-constant reflectance on the cornell 400-700
+            # grid (75 samples, reference data/scenes/cornell csv layout)
+            vals = np.repeat(rng.uniform(0.15, 0.85, size=15), 5).astype(np.float64)
+            mat = _HostMaterial(
+                bsdf=BSDF_MIRROR if mirror else BSDF_LAMBERTIAN,
+                albedo_spec=Spectrum(jnp.asarray(vals, jnp.float32), 400.0, 700.0),
+            )
+        else:
+            mat = _HostMaterial(
+                bsdf=BSDF_MIRROR if mirror else BSDF_LAMBERTIAN,
+                albedo_rgb=tuple(rng.uniform(0.15, 0.85, size=3)),
+            )
+        mat_ids.append(b.add_material(f"stress{i}", mat))
+
+    def rand_mat():
+        return mat_ids[int(rng.integers(len(mat_ids)))]
+
+    # boxes: random footprint position inside the cornell floor area, random
+    # half-extents and yaw; 5 quads (4 sides + top), like the blocks
+    for _ in range(cfg.stress_boxes):
+        hx, hz = rng.uniform(4.0, 18.0, size=2)
+        hy = rng.uniform(4.0, 30.0)
+        cx = rng.uniform(30.0, 520.0)
+        cz = rng.uniform(30.0, 530.0)
+        y0 = rng.uniform(0.0, 380.0)
+        ang = rng.uniform(0.0, 2.0 * np.pi)
+        ca, sa = np.cos(ang), np.sin(ang)
+        corners = []
+        for dx, dz in ((-hx, -hz), (hx, -hz), (hx, hz), (-hx, hz)):
+            corners.append((cx + dx * ca - dz * sa, cz + dx * sa + dz * ca))
+        (x0, z0), (x1, z1), (x2, z2), (x3, z3) = corners
+        lo, hi = y0, y0 + 2.0 * hy
+        m = rand_mat()
+        b.add_quad(m, (x0, hi, z0), (x1, hi, z1), (x2, hi, z2), (x3, hi, z3))
+        b.add_quad(m, (x0, lo, z0), (x0, hi, z0), (x1, hi, z1), (x1, lo, z1))
+        b.add_quad(m, (x1, lo, z1), (x1, hi, z1), (x2, hi, z2), (x2, lo, z2))
+        b.add_quad(m, (x2, lo, z2), (x2, hi, z2), (x3, hi, z3), (x3, lo, z3))
+        b.add_quad(m, (x3, lo, z3), (x3, hi, z3), (x0, hi, z0), (x0, lo, z0))
+
+    for _ in range(cfg.stress_spheres):
+        r = rng.uniform(4.0, 16.0)
+        c = (rng.uniform(30.0, 520.0), rng.uniform(r, 420.0), rng.uniform(30.0, 530.0))
+        b.add_sphere(rand_mat(), c, r)
+
+    return b.finish("cornell-stress")
+
+
 def build_scene(cfg: RenderConfig, tables: ColorTables) -> SceneData:
     """Build the scene named by ``cfg.scene`` (reference src/renderer.cpp:16-38)."""
     if cfg.scene == "cornell":
@@ -517,4 +641,6 @@ def build_scene(cfg: RenderConfig, tables: ColorTables) -> SceneData:
         return _cornell_srgb(cfg, tables)
     if cfg.scene == "plane-srgb":
         return _plane_srgb(cfg, tables)
+    if cfg.scene == "cornell-stress":
+        return _cornell_stress(cfg, tables)
     raise ValueError(f"unrecognized scene {cfg.scene!r}; supported: {SCENE_NAMES}")

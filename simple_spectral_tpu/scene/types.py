@@ -123,7 +123,8 @@ _pytree_dataclass(MaterialTable)
 
 @dataclasses.dataclass
 class SceneData:
-    _static = ("n_tris", "n_prims", "n_lights", "name", "tex_res")
+    _static = ("n_tris", "n_prims", "n_lights", "n_spheres", "n_bvh_entries",
+               "name", "tex_res")
 
     # Geometry (SoA over triangles; quads = 2 triangles re-tagged to one prim,
     # reference src/geometry.cpp:128-139).
@@ -157,9 +158,29 @@ class SceneData:
     #   meng:         f32[Ht*Wt, 12] 6 grid-point ids (exact ints) + 6 weights
     texture: Any = None
 
+    # Sphere primitives (north-star extension; the reference has spheres only
+    # as dead bounding-sphere code, reference src/scene.cpp:420-425 inside an
+    # `#if 0`-equivalent unused path).  None / 0 when the scene has none.
+    # Spheres are never lights (NEE samples quad lights only; asserted at
+    # scene build).
+    sphere_center: Any = None  # f32[Sp, 3]
+    sphere_radius: Any = None  # f32[Sp]
+    sphere_prim: Any = None  # i32[Sp] owning primitive id (self-hit exclusion)
+    sphere_mat: Any = None  # i32[Sp]
+
+    # Flattened BVH (render/bvh.py): skip-link DFS entry array over all
+    # primitives (tris + spheres), built host-side at scene build when the
+    # primitive count outgrows the dense [T, N] sweep.  None for the small
+    # built-in scenes.
+    bvh_nodes: Any = None  # f32[Nn, 12] packed rows (see render/bvh.py)
+    bvh_entry_ref: Any = None  # i32[Nn]: orig tri/sphere index (-1 internal)
+    bvh_entry_mat: Any = None  # i32[Nn]: material id (0 for internal)
+
     n_tris: int = 0
     n_prims: int = 0
     n_lights: int = 0
+    n_spheres: int = 0
+    n_bvh_entries: int = 0
     name: str = ""
     tex_res: Tuple[int, int] = (0, 0)  # (W, H)
 

@@ -8,15 +8,18 @@ Two candidate shaves to reach the 49.8 ms/spp fwd+bwd needed for
 hardware RngBitGenerator exposed via the 'rbg' impl) and any gather form
 under 7 ns/index.
 
-Usage: python tools/bench_rng_gather.py [out.json]
+Usage: python tools/bench_rng_gather.py [out.json] [which]
+  which: "rng" | "gather" | "all" (default "all") -- selects which probe
+  family to run.
 """
 
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -147,8 +150,15 @@ def bench_gathers(rtt):
                             jnp.int32(0), K=12, rtt=rtt)
         record("PALLAS dynamic_gather", dt, D * N)
     except Exception as e:  # noqa: BLE001
+        # record the full traceback tail, not just repr(e): a bare
+        # AssertionError() is undiagnosable from the artifact (advisor
+        # round-3 item 4)
+        import traceback
+
+        tb = traceback.format_exc().strip().splitlines()[-6:]
         print(f"pallas: FAILED {repr(e)[:400]}", flush=True)
-        RESULTS.append({"label": "PALLAS dynamic_gather", "error": repr(e)[:400]})
+        RESULTS.append({"label": "PALLAS dynamic_gather",
+                        "error": repr(e)[:400], "traceback_tail": tb})
 
 
 def main():
