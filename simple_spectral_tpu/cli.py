@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--help", action="help", help="show this message and exit")
     # reference flag surface (src/main.cpp:33-55)
     p.add_argument("-s", "--scene", default="cornell-srgb",
-                   help="cornell | cornell-srgb | plane-srgb")
+                   help="cornell | cornell-srgb | plane-srgb | cornell-stress")
     p.add_argument("-w", "--width", type=int, default=512)
     p.add_argument("-h", "--height", type=int, default=512)
     p.add_argument("-spp", "--spp", "--samples", type=int, default=64,
@@ -76,9 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=None,
                    help="this process's index for --coordinator")
     p.add_argument("--intersect-impl", default="auto",
-                   choices=("auto", "xla", "xla2", "pallas"),
-                   help="closest-hit sweep implementation (auto = measured "
-                   "best for the backend; see render/intersect.py)")
+                   choices=("auto", "xla", "xla2", "pallas", "bvh"),
+                   help="closest-hit implementation (auto = dense sweep for "
+                   "small scenes, BVH traversal for BVH-scale ones; see "
+                   "render/intersect.py)")
+    p.add_argument("--stress-boxes", type=int, default=1000,
+                   help="cornell-stress: random boxes (10 tris each)")
+    p.add_argument("--stress-spheres", type=int, default=500,
+                   help="cornell-stress: random spheres")
     p.add_argument("--debug-checks", action="store_true",
                    help="instrument the render with checkify float checks: "
                    "NaN/inf/div-by-zero raise with source location instead "
@@ -118,6 +123,8 @@ def main(argv=None) -> int:
         texture=args.texture,
         intersect_impl=args.intersect_impl,
         debug_checks=args.debug_checks,
+        stress_boxes=args.stress_boxes,
+        stress_spheres=args.stress_spheres,
     )
     # replicate the reference's convergence advice (src/renderer.cpp:18-31)
     if cfg.scene.startswith("cornell") and not cfg.els:

@@ -261,23 +261,30 @@ def _merge_spheres_soa(
 
 
 def resolve_intersect_impl(impl: str, scene=None) -> str:
-    """'auto' -> the XLA [T, N] sweep for the small built-in scenes; the BVH
-    traversal when the scene was built with one (scene/library.py builds a
-    BVH once the primitive count crosses cfg.bvh_threshold).
+    """'auto' -> the XLA [T, N] dense sweep, at EVERY scene scale.  This is
+    a measured decision, twice over (v5e, 262144 rays):
 
-    Measured on v5e (tools/bench_intersect_micro.py, 262144 rays, cornell's
-    38 tris): the XLA sweep runs at 826 Mrays/s vs 287 for the Pallas MXU
-    best-key kernel alone -- at T=38 the kernel is DMA/epilogue-bound and the
-    fat [T, N] VPU sweep is simply fast -- and the wrapper's per-lane
-    attribute gathers collapse to 10 Mrays/s.  The dense sweep is O(T * N),
-    so past a few hundred primitives the O(log T)-per-ray BVH walk wins
-    (tools/bench_bvh_micro.py records the crossover); 'pallas' remains
-    selectable and parity-tested (tests/test_intersect_pallas.py,
-    tools/check_pallas_tpu.py).
+    - At cornell's 38 tris the dense sweep runs 826 Mrays/s vs 287 for the
+      Pallas MXU best-key kernel (DMA/epilogue-bound at tiny T;
+      tools/bench_intersect_micro.py).
+    - At BVH scale the per-lane skip-link traversal (render/bvh.py) LOSES to
+      the dense sweep everywhere up to at least 100k primitives
+      (tools/bvh_micro_r04.json: 48 ms dense vs 3.6 s traversal at 10k tris,
+      extrapolated-480 ms dense vs 22.6 s at 100k).  Root cause arithmetic:
+      the dense sweep is VPU-bound at ~3.3 of 3.8 Tflop/s -- ~19 ps per
+      (tri, ray) test -- while every traversal step pays a per-lane row
+      gather at ~7 ns/index; one gathered word costs as much as ~370 dense
+      triangle tests, and a traversal visits hundreds of entries.  A
+      pointer-chasing structure cannot beat a saturated dense sweep on this
+      hardware below ~1M primitives; the scale win has to come from
+      BLOCK-level culling (amortize the irregular access over a ray block),
+      not per-lane traversal.
+
+    'bvh' stays selectable (parity-tested vs the dense oracle,
+    tests/test_bvh.py) as the semantic reference for acceleration-structure
+    behavior; 'pallas' likewise (tests/test_intersect_pallas.py).
     """
     if impl == "auto":
-        if scene is not None and scene.bvh_nodes is not None:
-            return "bvh"
         return "xla"
     return impl
 

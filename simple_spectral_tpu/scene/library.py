@@ -575,8 +575,9 @@ def _cornell_stress(cfg: RenderConfig, tables: ColorTables) -> SceneData:
     spectra, 1/8 mirrors).  Deterministic in cfg.stress_seed.
 
     Defaults give ~10.5k primitives; stress_boxes=10000 reaches ~100k tris.
-    The brute-force dense sweep runs unchanged on this scene (oracle for
-    tests/test_bvh.py); cfg.intersect_impl="auto" resolves to the BVH arm.
+    The brute-force dense sweep runs unchanged on this scene and is the
+    oracle for tests/test_bvh.py (and remains the measured-fastest arm at
+    this scale -- see render/intersect.py resolve_intersect_impl).
     """
     b = _cornell_builder(cfg, tables)
     spectral = cfg.spectral
