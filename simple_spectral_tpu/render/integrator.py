@@ -359,11 +359,31 @@ def trace_lanes(
     def emission_of(mat_k):
         return _mat_rows(emit_table, mat_k)
 
+    # Texel-row fetch for ALL bounces in ONE merged gather for the
+    # row-gather modes (jakob [N,3], meng [N,12]): the per-bounce gather
+    # fusions each ran ~13.7 ms in context -- 4.7x the isolated cost of the
+    # identical gather -- while one merged [B*N]-index gather runs at the
+    # isolated per-index rate (tools/ctx_gather_r04.json variants B vs D
+    # against the xplane profile of cfg4).  Per-bounce spectral evaluation
+    # then consumes its pre-fetched row slice (meng's grid contraction
+    # stays per-bounce: batching it over bounces would materialize a
+    # [P, B*N] 1.6 GB omega).  mallett/rgb keep per-bounce 1-D u32 gathers
+    # (never pathological -- single-word indices).
+    merged_rows = None
+    if has_tex and cfg.mode in ("jakob", "meng") and n_bounces > 0:
+        flat_idx = recs.tex_idx.reshape(-1)  # [B*N]
+        merged_rows = jnp.take(scene.texture, flat_idx, axis=0).reshape(
+            n_bounces, n, -1
+        )
+
     def albedo_of(k):
         const = _mat_rows(alb_table, recs.mat[k])
         if not has_tex:
             return const
-        texv = texture_albedo_deferred(scene, tables, cfg, cache, recs.tex_idx[k], lam0)
+        rows_k = None if merged_rows is None else merged_rows[k]
+        texv = texture_albedo_deferred(
+            scene, tables, cfg, cache, recs.tex_idx[k], lam0, texel_rows=rows_k
+        )
         is_tex = is_textured_mask(scene, recs.mat[k])
         return jnp.where(is_tex[None, :], texv, const)
 

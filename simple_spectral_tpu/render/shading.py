@@ -174,7 +174,8 @@ def texel_fetch_lrgb(scene: SceneData, tex_idx):
     return srgb_to_lrgb(r), srgb_to_lrgb(g), srgb_to_lrgb(b)
 
 
-def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, tex_idx, lam0):
+def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, tex_idx, lam0,
+                            texel_rows=None):
     """Per-bounce textured-albedo evaluation for the shading phase: one texel
     gather + dense math, per color pipeline.
 
@@ -191,6 +192,11 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
     redo them per hit) -- only one texel gather and the hero-wavelength
     evaluation remain on the hot path, and the gather's ~7 ns/index
     (tools/bench_gather_micro.py) is the floor for this op on TPU.
+
+    ``texel_rows``: optional pre-fetched texel rows f32[N, C] for the
+    jakob/meng row modes -- the integrator merges all bounces' fetches into
+    one gather (see trace_lanes; tools/ctx_gather_r04.json) and passes each
+    bounce's slice here, skipping the per-bounce take.
     """
     if not cfg.spectral:
         r, g, b = texel_fetch_lrgb(scene, tex_idx)
@@ -200,32 +206,80 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
         bh = cache["basis_hero"]  # [3, S, N]
         return bh[0] * r[None, :] + bh[1] * g[None, :] + bh[2] * b[None, :]
     if cfg.mode == MODE_JAKOB:
-        from simple_spectral_tpu.spectra.upsample_jakob import rgb2spec_eval_soa
-
-        rows = jnp.take(scene.texture, tex_idx, axis=0)  # [N, 3]
-        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
-        return rgb2spec_eval_soa(rows[:, 0], rows[:, 1], rows[:, 2], lams)
+        # 1-D per-wavelength evaluation (round 4): the [S, N] form of the
+        # sigmoid-polynomial eval got the T(1, 128) sublane-starved layout
+        # (the same pathology the integrator's shading chain hit in round 3)
+        # and dominated the jakob config's 47-of-56 ms texture branch
+        # (tools/modes_r04.json).  S is 4 and static; unroll it.
+        rows = texel_rows if texel_rows is not None else jnp.take(
+            scene.texture, tex_idx, axis=0)  # [N, 3]
+        c0, c1, c2 = rows[:, 0], rows[:, 1], rows[:, 2]
+        outs = []
+        for s in range(cfg.n_wavelengths):
+            lam = lam0 + (s * cfg.lambda_step)  # f32[N]
+            x = (c0 * lam + c1) * lam + c2
+            outs.append(0.5 * x * jax.lax.rsqrt(x * x + 1.0) + 0.5)
+        return jnp.stack(outs)
     if cfg.mode == MODE_MENG:
-        rows = jnp.take(scene.texture, tex_idx, axis=0)  # [N, 12]
+        rows = texel_rows if texel_rows is not None else jnp.take(
+            scene.texture, tex_idx, axis=0)  # [N, 12]
         pidx = rows[:, :6].astype(jnp.int32)  # [N, 6]
         w = rows[:, 6:]  # [N, 6]
         meng = tables.meng
         spec = meng["pts_spectrum"]  # [P, K]
         n_pts = spec.shape[0]
+        n = tex_idx.shape[0]
         # omega[p, n] = sum_slot w[n, slot] * [pidx[n, slot] == p]
         iota_p = jax.lax.broadcasted_iota(jnp.int32, (n_pts, 1), 0)
-        omega = jnp.zeros((n_pts, tex_idx.shape[0]), jnp.float32)
+        omega = jnp.zeros((n_pts, n), jnp.float32)
         for slot in range(6):
             omega = omega + jnp.where(
                 iota_p == pidx[:, slot][None, :], w[:, slot][None, :], 0.0
             )
         # q[k, n] = sum_p spec[p, k] * omega[p, n]  (MXU)
         q = jnp.einsum("pk,pn->kn", spec, omega, precision=_HI)
-        # hero-wavelength reconstruction: linear interp over the K bins,
+        # Hero-wavelength reconstruction: linear interp over the K 5-nm bins
         # clamped to the table edges (the CIE-2006 extension; see
-        # spectra/upsample_meng.py module docstring)
-        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
+        # spectra/upsample_meng.py module docstring).  Round 4: LAMBDA_STEP
+        # is an integer number R of bins for both observers (100/5, 110/5),
+        # so hat(x_s - j) = hat(x_0 - (j - s R)): ONE small [W, N] weight
+        # window shared by all S wavelengths against S static row slices of
+        # q, instead of a materialized [K, S, N] hat tensor (81 x 4 x 2^18
+        # f32 = 340 MB per bounce -- the meng config's dominant cost,
+        # tools/modes_r04.json).  Edge clamp is reproduced by padding q with
+        # replicated last rows: interpolating between equal values IS the
+        # clamp.
+        from simple_spectral_tpu.spectra.upsample_meng import meng_grid_meta
+
+        # static window geometry from trace-time dataset constants (the
+        # traced meng dict's floats cannot drive Python control flow)
+        g_lam_min, g_lam_max, k_meta = meng_grid_meta()
         k_dim = spec.shape[1]
+        assert k_dim == k_meta, "meng tables / metadata mismatch"
+        bin_w = (g_lam_max - g_lam_min) / (k_dim - 1)
+        r_ratio = cfg.lambda_step / bin_w
+        r_int = int(round(r_ratio))
+        s_dim = cfg.n_wavelengths
+        j0 = math.floor((cfg.lambda_min - g_lam_min) / bin_w)
+        if abs(r_ratio - r_int) < 1e-9 and j0 >= 0:
+            w_width = r_int + 2
+            k_need = j0 + w_width + (s_dim - 1) * r_int
+            if k_need > k_dim:
+                q = jnp.concatenate(
+                    [q, jnp.broadcast_to(q[-1:], (k_need - k_dim, n))], axis=0
+                )
+            xw = (lam0 - g_lam_min) * (1.0 / bin_w) - j0  # f32[N], in [0, W-1)
+            wins = [jnp.maximum(0.0, 1.0 - jnp.abs(xw - j)) for j in range(w_width)]
+            outs = []
+            for s in range(s_dim):
+                base = j0 + s * r_int
+                acc = q[base] * wins[0]
+                for j in range(1, w_width):
+                    acc = acc + q[base + j] * wins[j]
+                outs.append(acc)
+            return jnp.stack(outs)
+        # fallback (non-integer bin ratio): dense hat contraction
+        lams = hero_lams(lam0, cfg.n_wavelengths, cfg.lambda_step)
         x = (lams - meng["lam_min"]) / (meng["lam_max"] - meng["lam_min"]) * (k_dim - 1)
         x = jnp.clip(x, 0.0, k_dim - 1)
         wk = hat_weights(x, k_dim)  # [K, S, N]

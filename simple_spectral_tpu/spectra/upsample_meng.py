@@ -30,6 +30,24 @@ from simple_spectral_tpu.spectra.spectrum import data_path, hero_lams_soa
 FLT_MAX = 3.4028235e38
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def meng_grid_meta():
+    """Static (trace-time) grid metadata: (lam_min, lam_max, n_samples).
+
+    The ColorTables pytree carries the meng dict as a DYNAMIC child, so its
+    float leaves are tracers inside jit; the shifted-window reconstruction
+    (render/shading.py) needs the wavelength range as compile-time constants
+    to derive its static window geometry.  The values are dataset constants
+    of the vendored table (reference spectra_xyz_5nm_380_780_0.97.h: 380-780
+    at 5 nm), read once from the same npz the device tables load from.
+    """
+    z = np.load(data_path("meng2015-grid.npz"))
+    return float(z["lam_min"]), float(z["lam_max"]), int(z["pts_spectrum"].shape[1])
+
+
 def load_meng_tables(dtype=jnp.float32) -> dict:
     """Load the grid into device arrays (called from build_color_tables)."""
     z = np.load(data_path("meng2015-grid.npz"))

@@ -24,6 +24,15 @@ import numpy as np
 from tools.tpu_bench import measure_rtt, timeit_chained
 
 RESULTS = []
+OUT_PATH = None
+
+
+def _flush():
+    """Write the artifact incrementally: a timeout must not lose results."""
+    if OUT_PATH:
+        with open(OUT_PATH, "w") as f:
+            json.dump({"device": str(jax.devices()[0]),
+                       "lanes": 262144, "results": RESULTS}, f, indent=1)
 
 
 def untexture(scene):
@@ -59,14 +68,14 @@ def bench(label, cfg, scene, tables, rays_per_call, rtt, k=16):
             return fn(k2)
         return step
 
-    for name, fn, init in (
-        ("render", lambda k2: _render_chunk(scene, tables, cfg, k2, px, 1),
-         None),
-        ("fwd", lambda k2: forward_only_step(scene, tables, cfg, k2, px, target, 1),
-         None),
-        ("fwd+bwd", lambda k2: forward_backward_step(scene, tables, cfg, k2, px, target, 1),
-         None),
-    ):
+    todo = [
+        ("render", lambda k2: _render_chunk(scene, tables, cfg, k2, px, 1)),
+        ("fwd+bwd", lambda k2: forward_backward_step(scene, tables, cfg, k2, px, target, 1)),
+    ]
+    if os.environ.get("MODES_FWD", "0") == "1":
+        todo.insert(1, ("fwd", lambda k2: forward_only_step(
+            scene, tables, cfg, k2, px, target, 1)))
+    for name, fn in todo:
         step = mk(fn, None)
         s0 = step((jnp.zeros(()),), 0)
         dt = timeit_chained("", step, s0, K=k, rtt=rtt, quiet=True)
@@ -74,6 +83,7 @@ def bench(label, cfg, scene, tables, rays_per_call, rtt, k=16):
                         "mrays_s": round(rays / dt / 1e6, 2)})
         print(f"{label} {name:8s} {dt*1e3:9.2f} ms  {rays/dt/1e6:8.2f} Mrays/s",
               flush=True)
+        _flush()
 
 
 def main():
@@ -81,31 +91,31 @@ def main():
     from simple_spectral_tpu.scene.library import build_scene
     from simple_spectral_tpu.spectra.colorimetry import build_color_tables
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    global OUT_PATH
+    OUT_PATH = sys.argv[1] if len(sys.argv) > 1 else None
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
     rtt = measure_rtt()
     print(f"RTT {rtt*1e3:.1f} ms", flush=True)
 
     configs = {
-        "cfg3-meng": RenderConfig(scene="cornell-srgb", mode="meng",
-                                  observer=2006, width=256, height=256),
         "cfg4-jakob": RenderConfig(scene="plane-srgb", mode="jakob",
                                    width=512, height=512, els=False),
+        "cfg3-meng": RenderConfig(scene="cornell-srgb", mode="meng",
+                                  observer=2006, width=256, height=256),
         "cfg2-mallett": RenderConfig(scene="cornell-srgb", mode="mallett",
                                      width=256, height=256),
     }
     for name, cfg in configs.items():
+        if which != "all" and which not in name:
+            continue
         tables = build_color_tables(cfg)
         scene = build_scene(cfg, tables)
         lanes = 262144  # equal-lane footing for every config
         bench(name, cfg, scene, tables, lanes, rtt)
         bench(name + " NOTEX", cfg, untexture(scene), tables, lanes, rtt)
-
-    if out_path:
-        with open(out_path, "w") as f:
-            json.dump({"device": str(jax.devices()[0]),
-                       "rtt_ms": round(rtt * 1e3, 2),
-                       "lanes": 262144, "results": RESULTS}, f, indent=1)
-        print(f"wrote {out_path}", flush=True)
+    _flush()
+    if OUT_PATH:
+        print(f"wrote {OUT_PATH}", flush=True)
 
 
 if __name__ == "__main__":

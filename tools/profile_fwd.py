@@ -20,8 +20,16 @@ from simple_spectral_tpu.scene.library import build_scene
 from simple_spectral_tpu.spectra.colorimetry import build_color_tables
 
 which = sys.argv[1] if len(sys.argv) > 1 else "fwd"
-cfg = RenderConfig(scene="cornell-srgb", mode="mallett", width=512, height=512,
-                   spp=64)
+cfg_name = sys.argv[2] if len(sys.argv) > 2 else "canonical"
+CFGS = {
+    "canonical": RenderConfig(scene="cornell-srgb", mode="mallett", width=512,
+                              height=512, spp=64),
+    "jakob": RenderConfig(scene="plane-srgb", mode="jakob", width=512,
+                          height=512, spp=64, els=False),
+    "meng": RenderConfig(scene="cornell-srgb", mode="meng", observer=2006,
+                         width=256, height=256, spp=64),
+}
+cfg = CFGS[cfg_name]
 tables = build_color_tables(cfg)
 scene = build_scene(cfg, tables)
 key = jax.random.PRNGKey(0)

@@ -10,9 +10,21 @@ on CPU).  On a TPU slice it produces the BASELINE scaling-efficiency metric
 (target: >= 85% at 2+ hosts).  Multi-host runs launch one process per host
 with --coordinator/--num-processes/--process-id before any jax use.
 
+IMPORTANT caveat for virtual-CPU runs (round-4 analysis of the round-3
+49%-at-8-devices reading): N virtual devices share the host's physical
+cores, so weak scaling on a 2-core host is bounded by ~2/N once N > 2 --
+the headline "efficiency" column mixes that host-core bound with any real
+sharding overhead and CANNOT be compared against the >= 85% TPU target.
+The ``--equal-work`` mode separates the two: it times the SAME total lane
+count once on a 1-device mesh and once sharded over all N virtual devices
+(both runs use every host core via XLA's intra-op threading), so their
+ratio isolates the overhead the sharded program itself adds (psum,
+partitioning, per-shard RNG) from raw compute throughput.
+
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python tools/scaling_bench.py [out.json] [--lanes-per-dev 4096] [--spp 4]
+  ... --equal-work    # sharding-overhead mode (see above)
 """
 
 import argparse
@@ -61,6 +73,11 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--scene", default="cornell-srgb")
     ap.add_argument("--mode", default="mallett")
+    ap.add_argument("--equal-work", action="store_true",
+                    help="sharding-overhead mode: same TOTAL lanes on a "
+                    "1-device mesh vs sharded over all devices (see module "
+                    "docstring); the honest protocol on oversubscribed "
+                    "virtual-CPU hosts")
     args = ap.parse_args()
 
     cfg = RenderConfig(scene=args.scene, mode=args.mode, width=512, height=512, spp=64)
@@ -68,6 +85,30 @@ def main():
     scene = build_scene(cfg, tables)
     rtt = measure_rtt()
     n = len(jax.devices())
+
+    if args.equal_work:
+        total = args.lanes_per_dev * n
+        m1 = bench_mesh(cfg, scene, tables, 1, total, args.spp, rtt)
+        mn = bench_mesh(cfg, scene, tables, n, args.lanes_per_dev, args.spp, rtt)
+        overhead = m1 / mn if mn else float("inf")
+        rows = [
+            {"devices": 1, "lanes": total, "mrays_per_s": round(m1, 3)},
+            {"devices": n, "lanes": total, "mrays_per_s": round(mn, 3)},
+        ]
+        print(f"equal-work: 1-dev {m1:.3f} vs {n}-dev {mn:.3f} Mrays/s -> "
+              f"sharded/single ratio {mn/m1:.3f} (1.0 = zero sharding overhead)",
+              flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"backend": jax.default_backend(),
+                           "device": str(jax.devices()[0]),
+                           "protocol": "equal-work sharding overhead",
+                           "total_lanes": total, "spp": args.spp,
+                           "sharded_over_single": round(mn / m1, 4),
+                           "results": rows}, f, indent=1)
+            print(f"wrote {args.out}")
+        return
+
     sizes = [k for k in (1, 2, 4, 8, 16, 32) if k <= n]
 
     rows = []
