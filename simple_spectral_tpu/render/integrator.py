@@ -370,11 +370,11 @@ def trace_lanes(
     # [P, B*N] 1.6 GB omega).  mallett/rgb keep per-bounce 1-D u32 gathers
     # (never pathological -- single-word indices).
     merged_rows = None
-    if has_tex and cfg.mode in ("jakob", "meng") and n_bounces > 0:
+    if has_tex and n_bounces > 0:
         flat_idx = recs.tex_idx.reshape(-1)  # [B*N]
-        merged_rows = jnp.take(scene.texture, flat_idx, axis=0).reshape(
-            n_bounces, n, -1
-        )
+        fetched = jnp.take(scene.texture, flat_idx, axis=0)
+        # row modes reshape to [B, N, C]; u32 modes (rgb/mallett) to [B, N]
+        merged_rows = fetched.reshape((n_bounces, n) + fetched.shape[1:])
 
     def albedo_of(k):
         const = _mat_rows(alb_table, recs.mat[k])

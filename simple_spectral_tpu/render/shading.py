@@ -152,7 +152,7 @@ def texel_index(scene: SceneData, st_s, st_t):
     return j * w + i
 
 
-def texel_fetch_lrgb(scene: SceneData, tex_idx):
+def texel_fetch_lrgb(scene: SceneData, tex_idx, texel_words=None):
     """Fetch packed sRGB texels at precomputed flat indices -> linear RGB
     (r, g, b) f32[N] (reference src/material.cpp:45-64 pipeline: sRGB u8 ->
     f32 -> srgb_to_lrgb).
@@ -163,10 +163,14 @@ def texel_fetch_lrgb(scene: SceneData, tex_idx):
     rows cost ~1.5x a u32[T] gather), while the pow-gamma decode is fully
     hidden behind the gather.  So the texture ships as ONE packed u32 per
     texel (scene.types packs 0xRRGGBB) -- one narrow gather -- and the exact
-    sRGB decode stays on device for free."""
+    sRGB decode stays on device for free.
+
+    ``texel_words``: optional pre-fetched packed words u32[N] (merged-fetch
+    path, see trace_lanes) -- skips the per-bounce take."""
     from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb
 
-    packed = jnp.take(scene.texture, tex_idx, axis=0)
+    packed = texel_words if texel_words is not None else jnp.take(
+        scene.texture, tex_idx, axis=0)
     scale = 1.0 / 255.0
     r = ((packed >> 16) & 0xFF).astype(jnp.float32) * scale
     g = ((packed >> 8) & 0xFF).astype(jnp.float32) * scale
@@ -199,10 +203,10 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
     bounce's slice here, skipping the per-bounce take.
     """
     if not cfg.spectral:
-        r, g, b = texel_fetch_lrgb(scene, tex_idx)
+        r, g, b = texel_fetch_lrgb(scene, tex_idx, texel_words=texel_rows)
         return jnp.stack([r, g, b])
     if cfg.mode == MODE_MALLETT:
-        r, g, b = texel_fetch_lrgb(scene, tex_idx)
+        r, g, b = texel_fetch_lrgb(scene, tex_idx, texel_words=texel_rows)
         bh = cache["basis_hero"]  # [3, S, N]
         return bh[0] * r[None, :] + bh[1] * g[None, :] + bh[2] * b[None, :]
     if cfg.mode == MODE_JAKOB:
