@@ -76,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=None,
                    help="this process's index for --coordinator")
     p.add_argument("--intersect-impl", default="auto",
-                   choices=("auto", "xla", "xla2", "pallas", "bvh"),
+                   choices=("auto", "xla", "xla2", "pallas", "bvh", "cull"),
                    help="closest-hit implementation (auto = dense sweep for "
                    "small scenes, BVH traversal for BVH-scale ones; see "
                    "render/intersect.py)")

@@ -82,6 +82,9 @@ class RenderConfig:
     # materials.
     bvh_threshold: int = 512
     bvh_leaf_size: int = 4
+    # block-cull cluster capacity (render/cull.py; <= 63 so the row index
+    # fits the packed best key's 6 low mantissa bits)
+    cull_cluster_size: int = 63
     stress_boxes: int = 1000
     stress_spheres: int = 500
     stress_materials: int = 16
@@ -102,8 +105,10 @@ class RenderConfig:
             raise ValueError("n_wavelengths must be >= 1")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
-        if self.intersect_impl not in ("auto", "xla", "xla2", "pallas", "bvh"):
-            raise ValueError("intersect_impl must be auto | xla | xla2 | pallas | bvh")
+        if self.intersect_impl not in ("auto", "xla", "xla2", "pallas", "bvh", "cull"):
+            raise ValueError(
+                "intersect_impl must be auto | xla | xla2 | pallas | bvh | cull"
+            )
         # The reference refuses non-"Ours" + CIE 2006 at compile time
         # (src/stdafx.hpp:107-109).  We *support* it (documented extension):
         # meng/jakob table coverage is clamped to their fitted range.

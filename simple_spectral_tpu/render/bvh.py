@@ -340,12 +340,36 @@ def intersect_rays_bvh(
         lambda s: jnp.any(s[0] < nn), body, state
     )
 
+    return recover_hit_record(
+        scene, nodes, scene.bvh_entry_ref, scene.bvh_entry_mat,
+        best_entry, best_dist, o, d, need_attrs,
+    )
+
+
+def recover_hit_record(
+    scene, rows_table, entry_ref, entry_mat, best_entry, best_dist,
+    o: V3, d: V3, need_attrs: bool,
+):
+    """Winner-only attribute recovery shared by the BVH and block-cull arms.
+
+    ``rows_table`` is any packed entry array whose rows follow the bvh row
+    layout (word 0 kind, words 2..10 payload, word 11 prim id);
+    ``best_entry`` indexes it per lane (miss lanes: best_dist == inf).
+    Triangle ST comes from recomputing the scaled barycentrics for the
+    single winning triangle -- exactly the recovery used by the Pallas
+    wrapper (render/intersect.py:246-284); the returned dist is whatever the
+    traversal computed (exact for the BVH walk; the cull kernel's packed-key
+    dist is quantized to 6 low mantissa bits and callers needing exactness
+    recompute here via the barycentrics).
+    """
+    from simple_spectral_tpu.render.intersect import INF, HitRecord, _pick_axes
+
     hit = jnp.isfinite(best_dist)
     entry = jnp.where(hit, best_entry, 0)
-    rows = jnp.take(nodes, entry, axis=0)
+    rows = jnp.take(rows_table, entry, axis=0)
     kind = _bitcast_i32(rows[:, 0])
-    ref = jnp.take(scene.bvh_entry_ref, entry)
-    mat = jnp.where(hit, jnp.take(scene.bvh_entry_mat, entry), 0)
+    ref = jnp.take(entry_ref, entry)
+    mat = jnp.where(hit, jnp.take(entry_mat, entry), 0)
     prim = jnp.where(hit, _bitcast_i32(rows[:, 11]), -1)
     is_tri = hit & (kind == KIND_TRI)
     tri = jnp.where(is_tri, ref, 0)
@@ -356,18 +380,17 @@ def intersect_rays_bvh(
             normal=V3(zero, zero, zero), st_s=zero, st_t=zero,
         )
 
-    # --- attribute recovery (winner only; thin straight-line gathers) ---
-    # triangle: flat normal from the precomputed table, ST by recomputing the
-    # scaled barycentrics for the single winning triangle (exactly the
-    # recovery used by the Pallas wrapper, render/intersect.py:246-284)
+    kx, ky, kz, dz = _pick_axes(d)
+    inv_dz = 1.0 / jnp.where(dz == 0.0, 1.0, dz)
+    sx = select3(kx, d.x, d.y, d.z) * inv_dz
+    sy = select3(ky, d.x, d.y, d.z) * inv_dz
+    sz = inv_dz
+
     tnorm = V3(
         jnp.take(scene.tri_normal[:, 0], tri),
         jnp.take(scene.tri_normal[:, 1], tri),
         jnp.take(scene.tri_normal[:, 2], tri),
     )
-    u = jnp.zeros_like(best_dist)
-    v = jnp.zeros_like(best_dist)
-    w = jnp.zeros_like(best_dist)
 
     def sheared_row(v0):
         rx = rows[:, 2 + 3 * v0] - o.x
@@ -376,11 +399,11 @@ def intersect_rays_bvh(
         r_kx = select3(kx, rx, ry, rz)
         r_ky = select3(ky, rx, ry, rz)
         r_kz = select3(kz, rx, ry, rz)
-        return r_kx - sx * r_kz, r_ky - sy * r_kz
+        return r_kx - sx * r_kz, r_ky - sy * r_kz, r_kz
 
-    ax_a, ay_a = sheared_row(0)
-    ax_b, ay_b = sheared_row(1)
-    ax_c, ay_c = sheared_row(2)
+    ax_a, ay_a, az_a = sheared_row(0)
+    ax_b, ay_b, az_b = sheared_row(1)
+    ax_c, ay_c, az_c = sheared_row(2)
     u = ay_b * ax_c - ax_b * ay_c
     v = ay_c * ax_a - ax_c * ay_a
     w = ay_a * ax_b - ax_a * ay_b
@@ -389,6 +412,15 @@ def intersect_rays_bvh(
     st = jnp.take(scene.tri_st, tri, axis=0)  # f32[N, 3, 2]
     tri_st_s = (u * st[:, 0, 0] + v * st[:, 1, 0] + w * st[:, 2, 0]) * inv_det
     tri_st_t = (u * st[:, 0, 1] + v * st[:, 1, 1] + w * st[:, 2, 1]) * inv_det
+    # exact triangle distance recomputed from the winning row (used when the
+    # traversal's dist is quantized, e.g. the cull kernel's packed key)
+    t_scaled = sz * (u * az_a + v * az_b + w * az_c)
+    tri_dist = jnp.where(
+        is_tri & (det != 0.0),
+        t_scaled / jnp.where(det != 0.0, det, 1.0),
+        best_dist,
+    )
+    best_dist = jnp.where(is_tri, tri_dist, best_dist)
 
     if scene.n_spheres:
         is_sph = hit & (kind == KIND_SPHERE)
@@ -416,6 +448,6 @@ def intersect_rays_bvh(
         normal, st_s, st_t = tnorm, tri_st_s, tri_st_t
 
     return HitRecord(
-        hit=hit, dist=best_dist, tri=tri, prim=prim, mat=mat,
-        normal=normal, st_s=st_s, st_t=st_t,
+        hit=hit, dist=jnp.where(hit, best_dist, INF), tri=tri, prim=prim,
+        mat=mat, normal=normal, st_s=st_s, st_t=st_t,
     )

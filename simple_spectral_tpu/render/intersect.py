@@ -527,6 +527,15 @@ def intersect_rays_dispatch(
                 "primitive count >= cfg.bvh_threshold, scene/library.py)"
             )
         return intersect_rays_bvh(scene, o, d, ignore_prim, eps, need_attrs)
+    if r == "cull":
+        from simple_spectral_tpu.render.cull import intersect_rays_cull
+
+        if scene.cull_tiles is None:
+            raise ValueError(
+                "intersect_impl='cull' but the scene has no cluster tiles "
+                "(built when primitive count >= cfg.bvh_threshold)"
+            )
+        return intersect_rays_cull(scene, o, d, ignore_prim, eps, need_attrs)
     if r in ("pallas", "xla2") and scene.n_spheres:
         raise ValueError(f"intersect_impl={r!r} does not support spheres; use bvh/xla")
     if r == "pallas":

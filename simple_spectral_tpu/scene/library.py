@@ -277,11 +277,12 @@ class _Builder:
         bvh_kw = {}
         n_bvh_entries = 0
         want_bvh = (
-            cfg.intersect_impl == "bvh"
+            cfg.intersect_impl in ("bvh", "cull")
             or len(tri_mat) + n_spheres >= cfg.bvh_threshold
         )
         if want_bvh:
             from simple_spectral_tpu.render.bvh import build_bvh_arrays
+            from simple_spectral_tpu.render.cull import build_cluster_arrays
 
             nodes, entry_ref, entry_mat = build_bvh_arrays(
                 tv, np.asarray(tri_prim, np.int32), np.asarray(tri_mat, np.int32),
@@ -289,10 +290,18 @@ class _Builder:
                 leaf_size=cfg.bvh_leaf_size,
             )
             n_bvh_entries = nodes.shape[0]
+            tiles, c_ref, c_mat = build_cluster_arrays(
+                tv, np.asarray(tri_prim, np.int32), np.asarray(tri_mat, np.int32),
+                sp_center, sp_radius, sp_prim, sp_mat,
+                cluster_size=cfg.cull_cluster_size,
+            )
             bvh_kw = dict(
                 bvh_nodes=jnp.asarray(nodes),
                 bvh_entry_ref=jnp.asarray(entry_ref),
                 bvh_entry_mat=jnp.asarray(entry_mat),
+                cull_tiles=jnp.asarray(tiles),
+                cull_entry_ref=jnp.asarray(c_ref),
+                cull_entry_mat=jnp.asarray(c_mat),
             )
 
         camera = self._camera()

@@ -176,6 +176,12 @@ class SceneData:
     bvh_entry_ref: Any = None  # i32[Nn]: orig tri/sphere index (-1 internal)
     bvh_entry_mat: Any = None  # i32[Nn]: material id (0 for internal)
 
+    # Block-cull cluster tiles (render/cull.py): SAH-partitioned primitive
+    # clusters packed one DMA-able tile each; built alongside the BVH.
+    cull_tiles: Any = None  # f32[C, 1+L, 12]
+    cull_entry_ref: Any = None  # i32[C*(1+L)]
+    cull_entry_mat: Any = None  # i32[C*(1+L)]
+
     n_tris: int = 0
     n_prims: int = 0
     n_lights: int = 0
