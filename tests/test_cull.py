@@ -118,3 +118,23 @@ def test_render_cull_matches_xla():
     v2, a2 = render_accumulate(cfg.replace(intersect_impl="cull"), scene, tables, seed=3)
     np.testing.assert_allclose(v1, v2, rtol=2e-4, atol=2e-5)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_cull_sorted_matches_unsorted(rng):
+    """Ray sorting is a pure reordering: sorted results equal unsorted."""
+    cfg = _stress_cfg()
+    tables = build_color_tables(cfg)
+    scene = build_scene(cfg, tables)
+    n = 1500
+    o, d = _random_rays(rng, n)
+    ignore = jnp.asarray(rng.integers(-1, scene.n_prims, size=n), jnp.int32)
+    r0 = intersect_rays_cull(scene, o, d, ignore, cfg.eps, interpret=True,
+                             sort_rays=False)
+    r1 = intersect_rays_cull(scene, o, d, ignore, cfg.eps, interpret=True,
+                             sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(r0.hit), np.asarray(r1.hit))
+    np.testing.assert_array_equal(np.asarray(r0.prim), np.asarray(r1.prim))
+    m = np.asarray(r0.hit)
+    np.testing.assert_allclose(
+        np.asarray(r0.dist)[m], np.asarray(r1.dist)[m], rtol=1e-6
+    )
