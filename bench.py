@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 # Equal-lane footing for every measured config (see module docstring).
-BENCH_LANES = 262144
+BENCH_LANES = int(os.environ.get("BENCH_LANES", "262144"))
 
 
 def bench_config(cfg, tables, scene, key, spp_chunk, k_calls, rtt):

@@ -46,10 +46,11 @@ def _assert_rec_match(r_bvh, r_soa, n):
     np.testing.assert_array_equal(hit_b, hit_s)
     m = hit_b
     # distances agree exactly up to closest-hit ties; compare tightly and
-    # allow the tie set (same dist, different prim) to differ in attributes
+    # allow the tie set (same dist, different prim -- e.g. a quad's own
+    # coplanar diagonal resolved differently) to differ at f32 rounding
     d_b = np.asarray(r_bvh.dist)[m]
     d_s = np.asarray(r_soa.dist)[m]
-    np.testing.assert_allclose(d_b, d_s, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(d_b, d_s, rtol=2e-5, atol=1e-4)
     same_prim = np.asarray(r_bvh.prim)[m] == np.asarray(r_soa.prim)[m]
     # ties are measure-zero for random rays; demand near-total agreement
     assert same_prim.mean() > 0.999, f"prim mismatch on {(~same_prim).sum()}/{m.sum()}"
@@ -69,8 +70,9 @@ def _assert_rec_match(r_bvh, r_soa, n):
         )
 
 
-def test_bvh_matches_dense_sweep_cornell(rng):
+def test_bvh_matches_dense_sweep_cornell():
     """Force a BVH onto plain cornell (38 tris) and check agreement."""
+    rng = np.random.default_rng(2424)  # local: order-independent draws
     cfg = RenderConfig(scene="cornell", mode="rgb", intersect_impl="bvh")
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
@@ -85,9 +87,10 @@ def test_bvh_matches_dense_sweep_cornell(rng):
     _assert_rec_match(r_bvh, r_soa, 512)
 
 
-def test_bvh_matches_dense_sweep_stress(rng):
+def test_bvh_matches_dense_sweep_stress():
     """Stress scene (boxes + spheres): traversal vs dense sweep, with and
     without attribute recovery, plus the ignore-prim exclusion."""
+    rng = np.random.default_rng(2424)  # local: order-independent draws
     cfg = _stress_cfg()
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
@@ -109,14 +112,18 @@ def test_bvh_matches_dense_sweep_stress(rng):
         lambda: intersect_rays_bvh(scene, o, d, ignore, cfg.eps, need_attrs=False)
     )()
     np.testing.assert_array_equal(np.asarray(r2.hit), np.asarray(r_bvh.hit))
+    # need_attrs=True recomputes the winner's exact distance from its row
+    # (recover_hit_record), so it can drift from the raw traversal value by
+    # f32 rounding
     np.testing.assert_allclose(
-        np.asarray(r2.dist)[m], np.asarray(r_bvh.dist)[m], rtol=1e-6
+        np.asarray(r2.dist)[m], np.asarray(r_bvh.dist)[m], rtol=1e-5
     )
 
 
-def test_sphere_hits_present(rng):
+def test_sphere_hits_present():
     """The stress scene's spheres are actually hit by random rays (guards
     against a silently tri-only traversal)."""
+    rng = np.random.default_rng(2424)  # local: order-independent draws
     cfg = _stress_cfg()
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)

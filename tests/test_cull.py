@@ -60,7 +60,8 @@ def test_cluster_build_structure():
             assert (verts >= mn - 1e-3).all() and (verts <= mx + 1e-3).all()
 
 
-def test_cull_matches_dense_sweep(rng):
+def test_cull_matches_dense_sweep():
+    rng = np.random.default_rng(4242)  # local: order-independent draws
     cfg = _stress_cfg()
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
@@ -93,7 +94,8 @@ def test_cull_matches_dense_sweep(rng):
     assert not np.any(np.asarray(r_cull.prim)[m] == np.asarray(ignore)[m])
 
 
-def test_cull_need_attrs_false(rng):
+def test_cull_need_attrs_false():
+    rng = np.random.default_rng(4242)  # local: order-independent draws
     cfg = _stress_cfg()
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
@@ -120,8 +122,9 @@ def test_render_cull_matches_xla():
     np.testing.assert_array_equal(a1, a2)
 
 
-def test_cull_sorted_matches_unsorted(rng):
+def test_cull_sorted_matches_unsorted():
     """Ray sorting is a pure reordering: sorted results equal unsorted."""
+    rng = np.random.default_rng(4242)  # local: order-independent draws
     cfg = _stress_cfg()
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
