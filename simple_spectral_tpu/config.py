@@ -61,6 +61,12 @@ class RenderConfig:
     # render/intersect.py resolve_intersect_impl).  "xla" / "pallas" force
     # one (render/intersect.py vs render/intersect_pallas.py).
     intersect_impl: str = "auto"
+    # Unroll the geometry (depth) loop instead of lax.scan: scan-stacked
+    # [D-1, N] outputs get a T(1,128) row layout whose per-bounce slices
+    # cost ~13.7 ms of relayout copies each on v5e (round-4 xplane
+    # profiles); unrolled, every record stays a packed 1-D [N] array.
+    # Depth is static and small; scan remains selectable for huge depths.
+    unroll_geometry: bool = True
     # Rematerialize the per-lane material-spectra cache in the backward sweep
     # (jax.checkpoint around precompute_constant_spectra): trades a cheap
     # recompute for not saving the [K, M, S, N] hat-weight residuals.

@@ -275,18 +275,42 @@ def trace_lanes(
     )
     n_bounces = cfg.max_depth - 1
     if n_bounces > 0:
-        carry, recs = jax.lax.scan(
-            body, init, jnp.arange(n_bounces, dtype=jnp.int32)
-        )
-        # The geometry phase is constant w.r.t. the differentiable material
-        # tables (hit structure, NEE weights and BSDF pdfs depend on
-        # geometry + RNG only -- see module docstring); stop_gradient makes
-        # that explicit so the AD partial-eval can never drag the [T, N]
-        # intersect sweeps or their residuals into the backward pass.
-        # Verified exactly: per-entry central-difference gradient tests
-        # (tests/test_gradients.py) cover all four modes.
-        carry = jax.lax.stop_gradient(carry)
-        recs = jax.lax.stop_gradient(recs)
+        if cfg.unroll_geometry:
+            # UNROLLED depth loop (default; round-4 measured decision): a
+            # lax.scan stacks its per-bounce outputs into [D-1, N] buffers
+            # whose [1, N] row slices XLA lays out T(1, 128) and then
+            # relayouts for every consumer -- the xplane profile of the
+            # textured configs showed ~13.7 ms of async copy per bounce
+            # feeding each texel gather (s32[1, N]{T(1,128)S(1)} copy-start
+            # ops; see tools/ctx_gather_r04.json analysis).  Unrolling keeps
+            # every per-bounce record a plain [N] array in the packed
+            # T(1024) layout.  Depth is static and small (9 at the
+            # reference MAX_DEPTH), so the graph growth is bounded.
+            carry = init
+            rec_list = []
+            for depth in range(n_bounces):
+                carry, ys = body(carry, jnp.int32(depth))
+                rec_list.append(ys)
+            carry = jax.lax.stop_gradient(carry)
+            rec_list = jax.lax.stop_gradient(rec_list)
+            recs = BounceRecord(*(list(f) for f in zip(*rec_list)))
+        else:
+            carry, recs_stacked = jax.lax.scan(
+                body, init, jnp.arange(n_bounces, dtype=jnp.int32)
+            )
+            # The geometry phase is constant w.r.t. the differentiable
+            # material tables (hit structure, NEE weights and BSDF pdfs
+            # depend on geometry + RNG only -- see module docstring);
+            # stop_gradient makes that explicit so the AD partial-eval can
+            # never drag the [T, N] intersect sweeps or their residuals
+            # into the backward pass.  Verified exactly: per-entry central-
+            # difference gradient tests (tests/test_gradients.py) cover all
+            # four modes.
+            carry = jax.lax.stop_gradient(carry)
+            recs_stacked = jax.lax.stop_gradient(recs_stacked)
+            recs = BounceRecord(
+                *([f[k] for k in range(n_bounces)] for f in recs_stacked)
+            )
     else:
         carry, recs = init, None
     # final depth: emission only (no NEE, no bounce, no attribute pickup).
@@ -371,10 +395,10 @@ def trace_lanes(
     # (never pathological -- single-word indices).
     merged_rows = None
     if has_tex and n_bounces > 0:
-        flat_idx = recs.tex_idx.reshape(-1)  # [B*N]
+        flat_idx = jnp.concatenate(recs.tex_idx)  # [B*N]
         fetched = jnp.take(scene.texture, flat_idx, axis=0)
-        # row modes reshape to [B, N, C]; u32 modes (rgb/mallett) to [B, N]
-        merged_rows = fetched.reshape((n_bounces, n) + fetched.shape[1:])
+        # per-bounce slices: [N, C] rows (jakob/meng) or [N] words (u32)
+        merged_rows = [fetched[k * n:(k + 1) * n] for k in range(n_bounces)]
 
     def albedo_of(k):
         const = _mat_rows(alb_table, recs.mat[k])
