@@ -56,6 +56,11 @@ from simple_spectral_tpu.render.vec import V3, select3
 
 BLOCK_N = 1024
 INF_BITS = 0x7F800000
+# Cluster-tile row width: logically 12 f32 words (the bvh row layout), padded
+# to 128 so the kernel's per-cluster .at[c] DMA slice is lane-aligned
+# (Mosaic requires minor-dim slices in multiples of 128).  The padding costs
+# DMA bytes only (~33 KB/cluster, trivial next to the [L, 1024] VPU work).
+TILE_W = 128
 
 
 def build_cluster_arrays(
@@ -70,9 +75,9 @@ def build_cluster_arrays(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """SAH-partitioned cluster tiles (module docstring stage 1).
 
-    Returns (tiles f32[C, 1 + L, 12], entry_ref i32[C * (1 + L)],
+    Returns (tiles f32[C, 1 + L, TILE_W], entry_ref i32[C * (1 + L)],
     entry_mat i32[C * (1 + L)]) -- the flat entry arrays parallel
-    ``tiles.reshape(-1, 12)`` so the winner slot indexes them directly.
+    ``tiles.reshape(-1, TILE_W)`` so the winner slot indexes them directly.
     """
     from simple_spectral_tpu.render.bvh import (
         KIND_SPHERE,
@@ -117,7 +122,7 @@ def build_cluster_arrays(
 
     c = len(clusters)
     l = cluster_size
-    rows = np.zeros((c, 1 + l, 12), np.float32)
+    rows = np.zeros((c, 1 + l, TILE_W), np.float32)
     rows_i = rows.view(np.int32)
     ref = np.full(c * (1 + l), -1, np.int32)
     mat = np.zeros(c * (1 + l), np.int32)
@@ -146,13 +151,20 @@ def build_cluster_arrays(
 # --------------------------------------------------------------------- #
 
 
-def _kernel(counts_ref, lists_ref, rays_ref, tiles_hbm, out_ref,
-            scratch, sems, *, l_prims, eps):
+def _kernel(meta_hbm, rays_ref, tiles_hbm, out_ref,
+            list_smem, scratch, sems, *, l_prims, eps):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
-    count = counts_ref[0, 0]
+    # fetch this block's (count, cluster ids...) row into SMEM: Mosaic
+    # forbids sub-8 SMEM block slicing of inputs, so the per-block metadata
+    # row travels by explicit DMA instead of a BlockSpec
+    b = pl.program_id(0)
+    ldma = pltpu.make_async_copy(meta_hbm.at[b], list_smem, sems.at[2])
+    ldma.start()
+    ldma.wait()
+    count = list_smem[0, 0]
     ox, oy, oz = rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :]
     dx, dy, dz = rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :]
     ign = pltpu.bitcast(rays_ref[6:7, :], jnp.int32)
@@ -184,7 +196,7 @@ def _kernel(counts_ref, lists_ref, rays_ref, tiles_hbm, out_ref,
     def get_dma(slot, j):
         from jax.experimental.pallas import tpu as pltpu
 
-        c = lists_ref[0, j]
+        c = list_smem[0, 1 + j]
         return pltpu.make_async_copy(tiles_hbm.at[c], scratch.at[slot], sems.at[slot])
 
     @pl.when(count > 0)
@@ -203,7 +215,7 @@ def _kernel(counts_ref, lists_ref, rays_ref, tiles_hbm, out_ref,
             get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
 
         get_dma(slot, j).wait()
-        c = lists_ref[0, j]
+        c = list_smem[0, 1 + j]
         tile = scratch.at[slot]  # Ref f32[1 + L, 12]; slice per use (a full
         # load would burn a [65, 128]-padded vreg footprint)
 
@@ -310,15 +322,23 @@ def _cull_best(tiles, counts, lists, rays, l_prims: int, eps: float,
     nb = counts.shape[0]
     c_total = lists.shape[1]
     n_pad = rays.shape[1]
+    # per-block metadata row (count | cluster ids...), padded to 8 rows so
+    # the kernel's meta.at[b] DMA slice is sublane-aligned (Mosaic requires
+    # leading-dim slices of tiled buffers in multiples of 8)
+    mw = -(-(1 + c_total) // 128) * 128  # last-dim DMA slices must be
+    # 128-lane aligned (Mosaic tiling), so pad the metadata width
+    meta = (
+        jnp.zeros((nb, 8, mw), jnp.int32)
+        .at[:, 0, 0].set(counts[:, 0])
+        .at[:, 0, 1:1 + c_total].set(lists)
+    )
     kernel = functools.partial(_kernel, l_prims=l_prims, eps=eps)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c_total), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # meta rows, DMA'd to SMEM
             pl.BlockSpec((8, BLOCK_N), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
@@ -326,11 +346,12 @@ def _cull_best(tiles, counts, lists, rays, l_prims: int, eps: float,
         out_specs=pl.BlockSpec((2, BLOCK_N), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.SMEM((8, -(-(1 + c_total) // 128) * 128), jnp.int32),
             pltpu.VMEM((2, tiles.shape[1], tiles.shape[2]), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(counts, lists, rays, tiles)
+    )(meta, rays, tiles)
     return out
 
 
@@ -471,6 +492,6 @@ def intersect_rays_cull(
     best_dist = jnp.where(best_key < INF_BITS, best_dist, jnp.inf)
 
     return recover_hit_record(
-        scene, tiles.reshape(-1, 12), scene.cull_entry_ref,
+        scene, tiles.reshape(-1, TILE_W), scene.cull_entry_ref,
         scene.cull_entry_mat, best_slot, best_dist, o, d, need_attrs,
     )

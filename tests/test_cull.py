@@ -43,7 +43,9 @@ def test_cluster_build_structure():
     scene = build_scene(cfg, tables)
     tiles = np.asarray(scene.cull_tiles)
     c, lp1, w = tiles.shape
-    assert w == 12 and lp1 == cfg.cull_cluster_size + 1
+    from simple_spectral_tpu.render.cull import TILE_W
+
+    assert w == TILE_W and lp1 == cfg.cull_cluster_size + 1
     kinds = tiles.view(np.int32)[:, 1:, 0]
     n_prims = (kinds > 0).sum()
     assert n_prims == scene.n_tris + scene.n_spheres
