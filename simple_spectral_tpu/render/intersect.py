@@ -261,8 +261,9 @@ def _merge_spheres_soa(
 
 
 def resolve_intersect_impl(impl: str, scene=None) -> str:
-    """'auto' -> the XLA [T, N] dense sweep, at EVERY scene scale.  This is
-    a measured decision, twice over (v5e, 262144 rays):
+    """'auto' -> the XLA [T, N] dense sweep below ~32k primitives, the
+    block-cull Pallas arm above.  Both thresholds are measured decisions
+    (v5e, 262144 rays):
 
     - At cornell's 38 tris the dense sweep runs 826 Mrays/s vs 287 for the
       Pallas MXU best-key kernel (DMA/epilogue-bound at tiny T;
@@ -280,13 +281,35 @@ def resolve_intersect_impl(impl: str, scene=None) -> str:
       BLOCK-level culling (amortize the irregular access over a ray block),
       not per-lane traversal.
 
+    The scale win that DOES work is the block-cull arm (render/cull.py):
+    amortize the irregular access over a 1024-lane block via per-cluster
+    DMA + dense [L, 1024] tile tests.  Measured end-to-end on the full
+    integrator mix (coherent camera + shadow + incoherent bounce sweeps;
+    tools/stress_render_r04.json): dense still wins at 10k tris (1.45 s vs
+    1.84 s per 18-sweep chunk), cull wins from ~30k up (5.24 s vs 5.75 s at
+    50k; ~1.4x at 100k vs extrapolated dense) and scales sublinearly
+    (~T^0.65 end-to-end, ~T^0.4 on pure-coherent sweeps,
+    tools/cull_micro_r04.json).  'auto' therefore routes scenes past
+    CULL_AUTO_THRESHOLD primitives to 'cull' when cluster tiles exist.
+
     'bvh' stays selectable (parity-tested vs the dense oracle,
     tests/test_bvh.py) as the semantic reference for acceleration-structure
     behavior; 'pallas' likewise (tests/test_intersect_pallas.py).
     """
     if impl == "auto":
+        if (
+            scene is not None
+            and scene.cull_tiles is not None
+            and scene.n_tris + scene.n_spheres >= CULL_AUTO_THRESHOLD
+        ):
+            return "cull"
         return "xla"
     return impl
+
+
+# Measured end-to-end crossover between the dense sweep and the block-cull
+# arm (tools/stress_render_r04.json; see resolve_intersect_impl docstring).
+CULL_AUTO_THRESHOLD = 32768
 
 
 def intersect_rays_pallas(
