@@ -348,7 +348,7 @@ def intersect_rays_bvh(
 
 def recover_hit_record(
     scene, rows_table, entry_ref, entry_mat, best_entry, best_dist,
-    o: V3, d: V3, need_attrs: bool,
+    o: V3, d: V3, need_attrs: bool, recompute_dist: bool = False,
 ):
     """Winner-only attribute recovery shared by the BVH and block-cull arms.
 
@@ -357,10 +357,11 @@ def recover_hit_record(
     ``best_entry`` indexes it per lane (miss lanes: best_dist == inf).
     Triangle ST comes from recomputing the scaled barycentrics for the
     single winning triangle -- exactly the recovery used by the Pallas
-    wrapper (render/intersect.py:246-284); the returned dist is whatever the
-    traversal computed (exact for the BVH walk; the cull kernel's packed-key
-    dist is quantized to 6 low mantissa bits and callers needing exactness
-    recompute here via the barycentrics).
+    wrapper (render/intersect.py:246-284).  ``recompute_dist``: replace the
+    traversal's distance with the exact barycentric recompute -- needed by
+    the cull kernel (its packed-key dist is quantized to 6 low mantissa
+    bits); the BVH walk's distance is already exact and keeping it
+    preserves bitwise parity with the dense sweep.
     """
     from simple_spectral_tpu.render.intersect import INF, HitRecord, _pick_axes
 
@@ -412,15 +413,16 @@ def recover_hit_record(
     st = jnp.take(scene.tri_st, tri, axis=0)  # f32[N, 3, 2]
     tri_st_s = (u * st[:, 0, 0] + v * st[:, 1, 0] + w * st[:, 2, 0]) * inv_det
     tri_st_t = (u * st[:, 0, 1] + v * st[:, 1, 1] + w * st[:, 2, 1]) * inv_det
-    # exact triangle distance recomputed from the winning row (used when the
-    # traversal's dist is quantized, e.g. the cull kernel's packed key)
-    t_scaled = sz * (u * az_a + v * az_b + w * az_c)
-    tri_dist = jnp.where(
-        is_tri & (det != 0.0),
-        t_scaled / jnp.where(det != 0.0, det, 1.0),
-        best_dist,
-    )
-    best_dist = jnp.where(is_tri, tri_dist, best_dist)
+    if recompute_dist:
+        # exact triangle distance recomputed from the winning row (the cull
+        # kernel's packed-key dist is quantized; see docstring)
+        t_scaled = sz * (u * az_a + v * az_b + w * az_c)
+        tri_dist = jnp.where(
+            is_tri & (det != 0.0),
+            t_scaled / jnp.where(det != 0.0, det, 1.0),
+            best_dist,
+        )
+        best_dist = jnp.where(is_tri, tri_dist, best_dist)
 
     if scene.n_spheres:
         is_sph = hit & (kind == KIND_SPHERE)

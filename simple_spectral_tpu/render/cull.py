@@ -494,4 +494,5 @@ def intersect_rays_cull(
     return recover_hit_record(
         scene, tiles.reshape(-1, TILE_W), scene.cull_entry_ref,
         scene.cull_entry_mat, best_slot, best_dist, o, d, need_attrs,
+        recompute_dist=True,
     )
