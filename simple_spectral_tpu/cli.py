@@ -77,9 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="this process's index for --coordinator")
     p.add_argument("--intersect-impl", default="auto",
                    choices=("auto", "xla", "xla2", "pallas", "bvh", "cull"),
-                   help="closest-hit implementation (auto = dense sweep for "
-                   "small scenes, BVH traversal for BVH-scale ones; see "
-                   "render/intersect.py)")
+                   help="closest-hit implementation (auto = dense sweep "
+                   "below ~32k primitives, block-cull Pallas kernel above; "
+                   "bvh = stackless skip-link traversal, kept as the "
+                   "semantic reference -- see render/intersect.py)")
     p.add_argument("--stress-boxes", type=int, default=1000,
                    help="cornell-stress: random boxes (10 tris each)")
     p.add_argument("--stress-spheres", type=int, default=500,

@@ -415,8 +415,8 @@ def intersect_rays_cull(
     virtual-CPU test mesh), compiled Mosaic on TPU (incl. the axon-tunneled
     backend, whose platform name is not 'tpu' -- detect by device kind).
 
-    ``sort_rays``: reorder lanes by a spatial coherence key (nearest hit
-    cluster, then direction octant) before blocking, and un-permute the
+    ``sort_rays``: reorder lanes by a spatial coherence key (origin Morton
+    cell, then direction octant) before blocking, and un-permute the
     results -- restores block coherence for incoherent bounce/shadow sweeps
     so each block's cluster list stays short.  Costs ~16 1-D permutation
     gathers (~30 ms at 2^18 lanes); ``None`` enables it once the cluster

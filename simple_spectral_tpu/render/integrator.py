@@ -391,8 +391,10 @@ def trace_lanes(
     # against the xplane profile of cfg4).  Per-bounce spectral evaluation
     # then consumes its pre-fetched row slice (meng's grid contraction
     # stays per-bounce: batching it over bounces would materialize a
-    # [P, B*N] 1.6 GB omega).  mallett/rgb keep per-bounce 1-D u32 gathers
-    # (never pathological -- single-word indices).
+    # [P, B*N] 1.6 GB omega).  The merged fetch covers EVERY textured mode:
+    # u32 modes (rgb, mallett, and the quantized jakob/meng texel formats)
+    # gather one packed word per (bounce, lane); only f32-row formats fetch
+    # multi-word rows.
     merged_rows = None
     if has_tex and n_bounces > 0:
         flat_idx = jnp.concatenate(recs.tex_idx)  # [B*N]

@@ -95,8 +95,9 @@ def test_bvh_matches_dense_sweep_stress():
     tables = build_color_tables(cfg)
     scene = build_scene(cfg, tables)
     assert scene.n_spheres == 30 and scene.bvh_nodes is not None
-    # auto stays on the dense sweep at every scale -- measured decision
-    # (tools/bvh_micro_r04.json; see resolve_intersect_impl docstring)
+    # below CULL_AUTO_THRESHOLD primitives auto stays on the dense sweep;
+    # past it auto routes to the block-cull arm -- measured decision
+    # (tools/stress_render_r04.json; see resolve_intersect_impl docstring)
     assert resolve_intersect_impl("auto", scene) == "xla"
     n = 768
     o, d = _random_rays(rng, n)

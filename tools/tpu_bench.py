@@ -51,7 +51,19 @@ def timeit_chained(label, step, state0, K: int = 15, rtt: float | None = None,
     for i in range(K):
         s = step(s, i)
     _ = float(jnp.ravel(jax.tree.leaves(s)[0])[0])
-    dt = (time.time() - t0 - rtt) / K
+    raw = time.time() - t0
+    if raw < 2.0 * rtt:
+        # The measured interval is dominated by the tunnel round-trip:
+        # subtracting the RTT would amplify noise arbitrarily (round 4
+        # published a negative per-call time this way, bvh_micro_r04.json
+        # row 1).  Clamp to half the raw interval and say so -- callers
+        # must chain more work per call for a meaningful number.
+        print(f"WARNING: {label}: interval {raw*1e3:.2f} ms < 2x RTT "
+              f"({rtt*1e3:.2f} ms); per-call time clamped, increase K or "
+              "per-call work", flush=True)
+        dt = max(raw - rtt, 0.5 * raw) / K
+    else:
+        dt = (raw - rtt) / K
     if not quiet:
         extra = f"  {rays/dt/1e6:8.1f} Mrays/s" if rays else ""
         print(f"{label:52s} {dt*1e3:9.2f} ms/call{extra}", flush=True)
