@@ -96,6 +96,26 @@ class RenderConfig:
     stress_materials: int = 16
     stress_seed: int = 1234
 
+    # Texel storage for the jakob/meng pipelines (rgb/mallett always ship
+    # ONE packed-u32 sRGB word per texel).  On v5e the merged per-bounce
+    # texel fetch is gather-engine bound at ~7-9 ns per index for 1-D u32
+    # takes vs ~11-17 ns for multi-word rows (tools/pack_micro_r04.json,
+    # tools/ctx_gather_r04.json), so the f32-row formats pay ~2x on the
+    # dominant op of the textured configs:
+    #   "u32":  one word per texel -- jakob: the three sigmoid-polynomial
+    #           coefficients asinh-companded to 10/11/11-bit fixed point in
+    #           a range-normalized wavelength basis (measured fidelity on
+    #           the shipped texture: block-mean Y error <= 1.6e-4, ~25x
+    #           inside the reference-parity tolerance; per-texel XYZ mean
+    #           err 6.8e-4 -- tools/texel_q32_check.py); meng: the raw
+    #           sRGB texel, with the full chromaticity-grid walk
+    #           (reference src/meng-et-al.-2015/spectrum_grid.h:13-137)
+    #           re-run on device as gather-free one-hot math over the 168
+    #           grid cells (exact same arithmetic as the build-time walk).
+    #   "rows": exact f32 rows (jakob [T,3] coeffs, meng [T,12] point
+    #           ids + weights) -- the fidelity-reference layout.
+    texel_format: str = "u32"
+
     # Texture used by cornell-srgb / plane-srgb.  The reference points at a
     # 4096^2 texture missing from its own checkout (reference
     # src/scene.cpp:292 and .MISSING_LARGE_BLOBS); the in-repo 512^2 texture
@@ -115,6 +135,8 @@ class RenderConfig:
             raise ValueError(
                 "intersect_impl must be auto | xla | xla2 | pallas | bvh | cull"
             )
+        if self.texel_format not in ("u32", "rows"):
+            raise ValueError("texel_format must be u32 | rows")
         # The reference refuses non-"Ours" + CIE 2006 at compile time
         # (src/stdafx.hpp:107-109).  We *support* it (documented extension):
         # meng/jakob table coverage is clamped to their fitted range.

@@ -410,6 +410,10 @@ def trace_lanes(
         texv = texture_albedo_deferred(
             scene, tables, cfg, cache, recs.tex_idx[k], lam0, texel_rows=rows_k
         )
+        # The texture is not a differentiable leaf (render/trainstep.py
+        # DIFF_FIELDS); making that explicit keeps the texel decode chain
+        # (q32 dequant / meng grid walk) out of the AD residual set.
+        texv = jax.lax.stop_gradient(texv)
         is_tex = is_textured_mask(scene, recs.mat[k])
         return jnp.where(is_tex[None, :], texv, const)
 

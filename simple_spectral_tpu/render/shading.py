@@ -210,6 +210,21 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
         bh = cache["basis_hero"]  # [3, S, N]
         return bh[0] * r[None, :] + bh[1] * g[None, :] + bh[2] * b[None, :]
     if cfg.mode == MODE_JAKOB:
+        if cfg.texel_format == "u32":
+            # q32: one u32 word per texel; dequant (3 sinh FMAs) + the
+            # sigmoid eval are fused VPU work hidden behind the 1-D gather
+            # (spectra/upsample_jakob.py q32 notes; measured fidelity
+            # tools/texel_q32_check.py).
+            from simple_spectral_tpu.spectra.upsample_jakob import (
+                jakob_q32_eval_soa,
+            )
+
+            words = texel_rows if texel_rows is not None else jnp.take(
+                scene.texture, tex_idx, axis=0)  # u32[N]
+            return jakob_q32_eval_soa(
+                words, scene.texel_meta, lam0,
+                cfg.n_wavelengths, cfg.lambda_step,
+            )
         # 1-D per-wavelength evaluation (round 4): the [S, N] form of the
         # sigmoid-polynomial eval got the T(1, 128) sublane-starved layout
         # (the same pathology the integrator's shading chain hit in round 3)
@@ -225,20 +240,38 @@ def texture_albedo_deferred(scene: SceneData, tables, cfg: RenderConfig, cache, 
             outs.append(0.5 * x * jax.lax.rsqrt(x * x + 1.0) + 0.5)
         return jnp.stack(outs)
     if cfg.mode == MODE_MENG:
-        rows = texel_rows if texel_rows is not None else jnp.take(
-            scene.texture, tex_idx, axis=0)  # [N, 12]
-        pidx = rows[:, :6].astype(jnp.int32)  # [N, 6]
-        w = rows[:, 6:]  # [N, 6]
+        if cfg.texel_format == "u32":
+            # One packed sRGB word per texel; the whole chromaticity-grid
+            # walk (reference spectrum_grid.h:13-137) runs HERE, gather-free:
+            # cell tables via one one-hot contraction over the 168 cells
+            # (spectra/upsample_meng.py onehot variant).  Same arithmetic as
+            # the build-time walk that fills the "rows" format.
+            from simple_spectral_tpu.spectra.upsample_meng import (
+                lrgb_to_xyz_meng,
+                meng_cell_weights_soa_onehot,
+            )
+
+            r, g, b = texel_fetch_lrgb(scene, tex_idx, texel_words=texel_rows)
+            mx, my, mz = lrgb_to_xyz_meng(r, g, b)
+            pidx_arr, w_arr = meng_cell_weights_soa_onehot(
+                tables.meng, mx, my, mz)  # [6, N] each
+            pidx_slots = [pidx_arr[s] for s in range(6)]
+            w_slots = [w_arr[s] for s in range(6)]
+        else:
+            rows = texel_rows if texel_rows is not None else jnp.take(
+                scene.texture, tex_idx, axis=0)  # [N, 12]
+            pidx_slots = [rows[:, s].astype(jnp.int32) for s in range(6)]
+            w_slots = [rows[:, 6 + s] for s in range(6)]
         meng = tables.meng
         spec = meng["pts_spectrum"]  # [P, K]
         n_pts = spec.shape[0]
         n = tex_idx.shape[0]
-        # omega[p, n] = sum_slot w[n, slot] * [pidx[n, slot] == p]
+        # omega[p, n] = sum_slot w[slot][n] * [pidx[slot][n] == p]
         iota_p = jax.lax.broadcasted_iota(jnp.int32, (n_pts, 1), 0)
         omega = jnp.zeros((n_pts, n), jnp.float32)
         for slot in range(6):
             omega = omega + jnp.where(
-                iota_p == pidx[:, slot][None, :], w[:, slot][None, :], 0.0
+                iota_p == pidx_slots[slot][None, :], w_slots[slot][None, :], 0.0
             )
         # q[k, n] = sum_p spec[p, k] * omega[p, n]  (MXU)
         q = jnp.einsum("pk,pn->kn", spec, omega, precision=_HI)

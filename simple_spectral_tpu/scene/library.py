@@ -306,24 +306,31 @@ class _Builder:
 
         camera = self._camera()
         tex_rows = None
+        tex_meta = None
         if self.texture is not None:
-            if spectral and cfg.mode in ("jakob", "meng"):
-                from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb_np
-
-                lrgb = srgb_to_lrgb_np(
-                    np.asarray(self.texture, np.float32).reshape(-1, 3) / 255.0
-                )
-                tex_rows = self._texel_upsample_aux(lrgb)
+            srgb_words = (
+                (self.texture[..., 0].astype(np.uint32) << 16)
+                | (self.texture[..., 1].astype(np.uint32) << 8)
+                | self.texture[..., 2].astype(np.uint32)
+            ).reshape(-1)
+            if spectral and cfg.mode == "jakob" and cfg.texel_format == "rows":
+                tex_rows = self._texel_jakob_rows()
+            elif spectral and cfg.mode == "jakob":
+                # q32: the three sigmoid coefficients companded into ONE u32
+                # per texel (spectra/upsample_jakob.py jakob_q32_pack) so the
+                # merged per-bounce fetch is a 1-D u32 gather like mallett's.
+                tex_rows, tex_meta = self._texel_jakob_q32()
+            elif spectral and cfg.mode == "meng" and cfg.texel_format == "rows":
+                tex_rows = self._texel_meng_rows()
             else:
-                # rgb/mallett: ONE packed u32 per texel; the exact sRGB u8 ->
-                # lRGB decode stays on device, where it is hidden behind the
-                # gather (measured: tools/bench_gather_micro.py -- a f32[T,3]
-                # row gather is ~1.5x slower than u32[T] + pow decode)
-                tex_rows = jnp.asarray(
-                    (self.texture[..., 0].astype(np.uint32) << 16)
-                    | (self.texture[..., 1].astype(np.uint32) << 8)
-                    | self.texture[..., 2].astype(np.uint32)
-                ).reshape(-1)
+                # rgb/mallett -- and meng with texel_format="u32", whose
+                # grid walk runs on device from the raw texel
+                # (render/shading.py): ONE packed u32 per texel; the exact
+                # sRGB u8 -> lRGB decode stays on device, where it is hidden
+                # behind the gather (measured: tools/bench_gather_micro.py --
+                # a f32[T,3] row gather is ~1.5x slower than u32[T] + pow
+                # decode)
+                tex_rows = jnp.asarray(srgb_words)
         return SceneData(
             tri_verts=jnp.asarray(tv, jnp.float32),
             tri_st=jnp.asarray(np.asarray(tri_st), jnp.float32),
@@ -335,6 +342,7 @@ class _Builder:
             materials=materials,
             camera=camera,
             texture=tex_rows,
+            texel_meta=tex_meta,
             **sphere_kw,
             **bvh_kw,
             n_tris=len(tri_mat),
@@ -353,36 +361,67 @@ class _Builder:
     def _camera(self) -> Camera:
         raise NotImplementedError
 
-    def _texel_upsample_aux(self, lrgb):
-        """Precompute per-texel spectral-upsample rows (SceneData.texture) for
-        the jakob/meng pipelines.
+    def _texel_lrgb(self):
+        """Texture as linear-RGB channel arrays (f32[T] x3), for the
+        build-time per-texel upsample precomputations."""
+        from simple_spectral_tpu.spectra.colorimetry import srgb_to_lrgb_np
+
+        lrgb = srgb_to_lrgb_np(
+            np.asarray(self.texture, np.float32).reshape(-1, 3) / 255.0
+        )
+        return (
+            jnp.asarray(lrgb[:, 0]),
+            jnp.asarray(lrgb[:, 1]),
+            jnp.asarray(lrgb[:, 2]),
+        )
+
+    def _texel_jakob_rows(self):
+        """Per-texel sigmoid-coefficient rows f32[T, 3] (texel_format="rows").
 
         The reference upsamples each texel on the fly per intersection
         (reference src/material.cpp:45-64); the position-dependent part of
-        both the Jakob-Hanika cube fetch and the Meng grid walk depends only
-        on the texel's RGB, so it is hoisted to scene build -- the per-bounce
-        device work then needs no table gathers beyond one texel row.
-        """
-        r = jnp.asarray(lrgb[:, 0])
-        g = jnp.asarray(lrgb[:, 1])
-        b = jnp.asarray(lrgb[:, 2])
-        if self.cfg.mode == "jakob":
-            from simple_spectral_tpu.spectra.upsample_jakob import rgb2spec_fetch_soa
+        the Jakob-Hanika cube fetch depends only on the texel's RGB, so it is
+        hoisted to scene build -- the per-bounce device work then needs no
+        table gathers beyond one texel row."""
+        from simple_spectral_tpu.spectra.upsample_jakob import rgb2spec_fetch_soa
 
-            c0, c1, c2 = rgb2spec_fetch_soa(self.tables.jakob, r, g, b)
-            return jnp.stack([c0, c1, c2], axis=-1)  # f32[T, 3]
-        else:  # meng
-            from simple_spectral_tpu.spectra.upsample_meng import (
-                lrgb_to_xyz_meng,
-                meng_cell_weights_soa,
-            )
+        r, g, b = self._texel_lrgb()
+        c0, c1, c2 = rgb2spec_fetch_soa(self.tables.jakob, r, g, b)
+        return jnp.stack([c0, c1, c2], axis=-1)  # f32[T, 3]
 
-            x, y, z = lrgb_to_xyz_meng(r, g, b)
-            pidx, w = meng_cell_weights_soa(self.tables.meng, x, y, z)
-            # pack: 6 point ids (exact small ints in f32) + 6 weights
-            return jnp.concatenate(
-                [pidx.T.astype(jnp.float32), w.T], axis=-1
-            )  # f32[T, 12]
+    def _texel_jakob_q32(self):
+        """Per-texel q32-packed coefficients (texel_format="u32"): the same
+        cube fetch as _texel_jakob_rows, then asinh-companded 10/11/11-bit
+        packing into one u32 per texel (spectra/upsample_jakob.py).
+        Returns (words u32[T], meta f32[9])."""
+        from simple_spectral_tpu.spectra.upsample_jakob import (
+            jakob_q32_pack,
+            rgb2spec_fetch_soa,
+        )
+
+        r, g, b = self._texel_lrgb()
+        c0, c1, c2 = rgb2spec_fetch_soa(self.tables.jakob, r, g, b)
+        words, meta = jakob_q32_pack(
+            np.asarray(c0), np.asarray(c1), np.asarray(c2)
+        )
+        return jnp.asarray(words), jnp.asarray(meta)
+
+    def _texel_meng_rows(self):
+        """Per-texel Meng grid rows f32[T, 12] (texel_format="rows"): 6
+        point ids (exact small ints in f32) + 6 weights, precomputed by the
+        build-time grid walk (reference src/meng-et-al.-2015/
+        spectrum_grid.h:13-137 redone per hit there)."""
+        from simple_spectral_tpu.spectra.upsample_meng import (
+            lrgb_to_xyz_meng,
+            meng_cell_weights_soa,
+        )
+
+        r, g, b = self._texel_lrgb()
+        x, y, z = lrgb_to_xyz_meng(r, g, b)
+        pidx, w = meng_cell_weights_soa(self.tables.meng, x, y, z)
+        return jnp.concatenate(
+            [pidx.T.astype(jnp.float32), w.T], axis=-1
+        )  # f32[T, 12]
 
 
 def _cornell_builder(cfg: RenderConfig, tables: ColorTables) -> _Builder:

@@ -154,9 +154,18 @@ class SceneData:
     # scale with row bytes, tools/bench_gather_micro.py):
     #   rgb, mallett: u32[Ht*Wt]     packed 0xRRGGBB sRGB (decode on device,
     #                                hidden behind the gather)
-    #   jakob:        f32[Ht*Wt, 3]  sigmoid polynomial coefficients
-    #   meng:         f32[Ht*Wt, 12] 6 grid-point ids (exact ints) + 6 weights
+    #   jakob rows:   f32[Ht*Wt, 3]  sigmoid polynomial coefficients
+    #   jakob u32:    u32[Ht*Wt]     coefficients asinh-companded to
+    #                                10/11/11-bit fixed point (q32 format,
+    #                                spectra/upsample_jakob.py; dequant
+    #                                meta in texel_meta)
+    #   meng rows:    f32[Ht*Wt, 12] 6 grid-point ids (exact ints) + 6 weights
+    #   meng u32:     u32[Ht*Wt]     packed 0xRRGGBB sRGB; the grid walk
+    #                                runs on device, gather-free
+    #                                (spectra/upsample_meng.py onehot variant)
     texture: Any = None
+    # q32 dequantization constants (jakob u32 texels): f32[9], else None.
+    texel_meta: Any = None
 
     # Sphere primitives (north-star extension; the reference has spheres only
     # as dead bounding-sphere code, reference src/scene.cpp:420-425 inside an

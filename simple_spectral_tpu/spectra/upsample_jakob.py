@@ -116,6 +116,99 @@ def rgb2spec_fetch_soa(jak: dict, r, g, b):
     return c0, c1, c2
 
 
+# ---------------------------------------------------------------------- #
+# q32 texel format: the three sigmoid-polynomial coefficients packed into #
+# ONE u32 per texel (config.texel_format="u32").                          #
+# ---------------------------------------------------------------------- #
+#
+# Why: the per-bounce texel fetch is gather-engine bound on TPU (~7-9 ns
+# per 1-D u32 index vs ~11-17 ns for f32[T,3] rows, in and out of context
+# -- tools/pack_micro_r04.json, tools/ctx_gather_r04.json), and at f32
+# fidelity it was the jakob config's dominant cost (PERF.md round 4).
+#
+# Encoding.  The nm-unit coefficients span ~5 orders of magnitude, so they
+# are first rebased to t = (lam - LC) / LH with the full two-observer range
+# [380, 830] mapped near [-1, 1]:
+#   x = a0 t^2 + a1 t + a2,   a0 = c0 LH^2,  a1 = (2 c0 LC + c1) LH,
+#                             a2 = c0 LC^2 + c1 LC + c2.
+# Each a_i is then asinh-companded (u = asinh(a / sigma)) and quantized to
+# 10/11/11-bit fixed point over the texture's own u-range: companding puts
+# resolution where |x| is small -- exactly where the sigmoid's slope (and
+# hence the reflectance error) is largest -- and starves only the saturated
+# tails where d(refl)/dx ~ (x^2+1)^{-3/2} vanishes.  Measured on the
+# shipped 512^2 texture (tools/texel_q32_check.py): mean |refl err|
+# 5.9e-4, per-texel XYZ err mean 6.8e-4, and 16x16-block-mean Y error
+# <= 1.6e-4 -- ~25x inside the reference-parity tolerance of the converged
+# renders (tests/artifacts/parity_stats.json).
+#
+# The z=0 black texel (reference rgb2spec.c divides by zero there; our
+# fetch returns c2=-1e6, module docstring) is a reserved code: a2-field
+# 0x7FF means "black", decoded as reflectance 0.
+JAKOB_Q32_LC = 605.0
+JAKOB_Q32_LH = 225.0
+_Q32_BITS = (10, 11, 11)
+_Q32_SIGMA = (4.0, 4.0, 1.0)
+_Q32_BLACK = (1 << 11) - 1  # reserved a2 code
+
+
+def jakob_q32_pack(c0, c1, c2):
+    """Host-side pack: nm-unit coefficient arrays (numpy, [T]) ->
+    (words u32[T], meta f32[9] = (lo, step, sigma) per coefficient)."""
+    c0 = np.asarray(c0, np.float64)
+    c1 = np.asarray(c1, np.float64)
+    c2 = np.asarray(c2, np.float64)
+    black = c2 < -1e5
+    lc, lh = JAKOB_Q32_LC, JAKOB_Q32_LH
+    a_all = (
+        c0 * lh * lh,
+        (2.0 * c0 * lc + c1) * lh,
+        c0 * lc * lc + c1 * lc + c2,
+    )
+    qs, meta = [], []
+    for k, (a, bits, sig) in enumerate(zip(a_all, _Q32_BITS, _Q32_SIGMA)):
+        reserve = 1 if k == 2 else 0
+        u = np.arcsinh(np.where(black, 0.0, a) / sig)
+        sel = u[~black]
+        lo = float(sel.min()) if sel.size else 0.0
+        hi = float(sel.max()) if sel.size else 1.0
+        n = (1 << bits) - 1 - reserve
+        du = (hi - lo) / n if hi > lo else 1.0
+        q = np.clip(np.round((u - lo) / du), 0, n).astype(np.uint32)
+        qs.append(q)
+        meta += [lo, du, sig]
+    q0, q1, q2 = qs
+    q2 = np.where(black, np.uint32(_Q32_BLACK), q2)
+    words = (q0 << np.uint32(22)) | (q1 << np.uint32(11)) | q2
+    return words.astype(np.uint32), np.asarray(meta, np.float32)
+
+
+def jakob_q32_eval_soa(words, meta, lam0, n_wavelengths: int, lambda_step: float):
+    """Device-side decode + sigmoid evaluation: words u32[N], meta f32[9],
+    lam0 f32[N] -> reflectance f32[S, N].  Three sinh + per-wavelength
+    3-FMA/rsqrt -- pure fused VPU work hidden behind the texel gather."""
+    import jax
+
+    words = words.astype(jnp.uint32)
+    q0 = (words >> 22) & 0x3FF
+    q1 = (words >> 11) & 0x7FF
+    q2 = words & 0x7FF
+    black = q2 == _Q32_BLACK
+
+    def deq(q, o):
+        u = meta[o] + q.astype(jnp.float32) * meta[o + 1]
+        return meta[o + 2] * jnp.sinh(u)
+
+    a0, a1, a2 = deq(q0, 0), deq(q1, 3), deq(q2, 6)
+    inv_lh = 1.0 / JAKOB_Q32_LH
+    outs = []
+    for s in range(n_wavelengths):
+        t = (lam0 + (s * lambda_step) - JAKOB_Q32_LC) * inv_lh
+        x = (a0 * t + a1) * t + a2
+        refl = 0.5 * x * jax.lax.rsqrt(x * x + 1.0) + 0.5
+        outs.append(jnp.where(black, 0.0, refl))
+    return jnp.stack(outs)
+
+
 def rgb2spec_eval_soa(c0, c1, c2, lams):
     """Sigmoid-polynomial evaluation (rgb2spec_eval_precise,
     rgb2spec.c:129-133).  c*: f32[N]; lams: f32[S, N] -> f32[S, N]."""

@@ -21,6 +21,7 @@ either observer (documented deviation).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -51,6 +52,24 @@ def meng_grid_meta():
 def load_meng_tables(dtype=jnp.float32) -> dict:
     """Load the grid into device arrays (called from build_color_tables)."""
     z = np.load(data_path("meng2015-grid.npz"))
+    # Per-cell channel matrix for the gather-free device walk
+    # (meng_cell_weights_soa_onehot): every cell-indexed table the walk
+    # reads, as one [C, 20] block contracted against a cell one-hot --
+    # cols (inside, num, pidx x6, pu x6, pv x6).  Point ids stay exact in
+    # f32 (small ints, exactly one nonzero one-hot term).
+    gi = np.maximum(np.asarray(z["grid_idx"], np.int64), 0)  # [C, 6]
+    pu = np.asarray(z["pts_uv"])[gi, 0]  # [C, 6]
+    pv = np.asarray(z["pts_uv"])[gi, 1]  # [C, 6]
+    cell_chan = np.concatenate(
+        [
+            np.asarray(z["grid_inside"], np.float64)[:, None],
+            np.asarray(z["grid_num"], np.float64)[:, None],
+            gi.astype(np.float64),
+            pu,
+            pv,
+        ],
+        axis=1,
+    )
     return {
         "mat_xy_to_uv": jnp.asarray(z["mat_xy_to_uv"], dtype),  # [6]
         "grid_inside": jnp.asarray(z["grid_inside"], jnp.int32),  # [W*H]
@@ -58,6 +77,7 @@ def load_meng_tables(dtype=jnp.float32) -> dict:
         "grid_idx": jnp.asarray(z["grid_idx"], jnp.int32),  # [W*H, 6]
         "pts_uv": jnp.asarray(z["pts_uv"], dtype),  # [P, 2]
         "pts_spectrum": jnp.asarray(z["pts_spectrum"], dtype),  # [P, K]
+        "cell_chan": jnp.asarray(cell_chan, dtype),  # [W*H, 20]
         # static metadata (plain Python numbers; see ColorTables aux)
         "width": int(z["width"]),
         "height": int(z["height"]),
@@ -173,16 +193,9 @@ def spectrum_xyz_to_p_soa(meng: dict, x, y, z, lams):
     return jnp.where(ok[None, :], p * ssum[None, :], 0.0)
 
 
-def meng_cell_weights_soa(meng: dict, x, y, z):
-    """Factor the grid evaluation into per-position point weights: returns
-    (pidx i32[6, N], w f32[6, N]) such that
-    ``spectrum_xyz_to_p(lam, xyz) == sum_slot w[slot] * spectrum(pidx[slot], lam)``
-    for every wavelength.  The split is exact because the interpolation
-    weights (bilinear inside, triangle-fan barycentric on the boundary,
-    reference src/meng-et-al.-2015/spectrum_grid.h:75-131) depend only on the
-    chromaticity position, not on lambda -- which lets callers precompute
-    them once per texel and defer all spectral evaluation (SURVEY.md C17).
-    The 1/norm scale (grid.h:134-136) is folded into w."""
+def _uv_position(meng: dict, x, y, z):
+    """Shared XYZ -> grid-uv position math (grid.h:24-45): returns
+    (u_safe, v_safe, ui, vi, cell, valid, ssum)."""
     w_grid = meng["width"]
     h_grid = meng["height"]
     ssum = x + y + z
@@ -201,6 +214,23 @@ def meng_cell_weights_soa(meng: dict, x, y, z):
     ui = jnp.floor(u_safe).astype(jnp.int32)
     vi = jnp.floor(v_safe).astype(jnp.int32)
     cell = ui + w_grid * vi
+    return u_safe, v_safe, ui, vi, cell, valid, ssum
+
+
+def meng_cell_weights_soa(meng: dict, x, y, z):
+    """Factor the grid evaluation into per-position point weights: returns
+    (pidx i32[6, N], w f32[6, N]) such that
+    ``spectrum_xyz_to_p(lam, xyz) == sum_slot w[slot] * spectrum(pidx[slot], lam)``
+    for every wavelength.  The split is exact because the interpolation
+    weights (bilinear inside, triangle-fan barycentric on the boundary,
+    reference src/meng-et-al.-2015/spectrum_grid.h:75-131) depend only on the
+    chromaticity position, not on lambda -- which lets callers precompute
+    them once per texel and defer all spectral evaluation (SURVEY.md C17).
+    The 1/norm scale (grid.h:134-136) is folded into w.
+
+    Cell tables are read with per-lane gathers -- right for host/build-time
+    use; inside a device hot loop use meng_cell_weights_soa_onehot."""
+    u_safe, v_safe, ui, vi, cell, valid, ssum = _uv_position(meng, x, y, z)
 
     inside = jnp.take(meng["grid_inside"], cell, axis=0)
     num = jnp.take(meng["grid_num"], cell, axis=0)
@@ -212,6 +242,45 @@ def meng_cell_weights_soa(meng: dict, x, y, z):
         pu_slots.append(jnp.take(meng["pts_uv"][:, 0], pidx, axis=0))
         pv_slots.append(jnp.take(meng["pts_uv"][:, 1], pidx, axis=0))
 
+    return _cell_weights_core(
+        u_safe, v_safe, ui, vi, inside, num,
+        pidx_slots, pu_slots, pv_slots, valid, ssum,
+    )
+
+
+def meng_cell_weights_soa_onehot(meng: dict, x, y, z):
+    """Gather-free variant of meng_cell_weights_soa for device hot paths
+    (config.texel_format="u32"): every cell-indexed table read becomes ONE
+    one-hot contraction over the 168 grid cells (dense VPU compare + MXU
+    matmul -- exactly one nonzero term per lane, so f32 results including
+    the integer point ids are exact).  Per-lane gathers cost ~7-9 ns/index
+    on v5e (tools/pack_micro_r04.json); the 20 channels here would cost 20
+    gathers/lane, while the contraction is ~2*20*168 flops/lane of dense
+    math.  Identical arithmetic to the gather variant from the channel
+    values onward."""
+    u_safe, v_safe, ui, vi, cell, valid, ssum = _uv_position(meng, x, y, z)
+
+    cell_chan = meng["cell_chan"]  # [C, 20]
+    n_cells = cell_chan.shape[0]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_cells, 1), 0)
+    oh = (iota_c == cell[None, :]).astype(jnp.float32)  # [C, N]
+    chans = jnp.einsum(
+        "ck,cn->kn", cell_chan, oh, precision=jax.lax.Precision.HIGHEST
+    )  # [20, N]
+    inside = chans[0].astype(jnp.int32)
+    num = chans[1].astype(jnp.int32)
+    pidx_slots = [chans[2 + s].astype(jnp.int32) for s in range(6)]
+    pu_slots = [chans[8 + s] for s in range(6)]
+    pv_slots = [chans[14 + s] for s in range(6)]
+
+    return _cell_weights_core(
+        u_safe, v_safe, ui, vi, inside, num,
+        pidx_slots, pu_slots, pv_slots, valid, ssum,
+    )
+
+
+def _cell_weights_core(u_safe, v_safe, ui, vi, inside, num,
+                       pidx_slots, pu_slots, pv_slots, valid, ssum):
     # inner-cell bilinear weights (vertex layout 2 3 / 0 1, grid.h:75-89)
     fu = u_safe - ui.astype(jnp.float32)
     fv = v_safe - vi.astype(jnp.float32)
