@@ -465,7 +465,8 @@ def trace_lanes(
 
     if cfg.spectral:
         value = specradflux_to_ciexyz_hero_soa(
-            tables, flux, lam0, cfg.n_wavelengths, cfg.lambda_step
+            tables, flux, lam0, cfg.n_wavelengths, cfg.lambda_step,
+            lambda_min=cfg.lambda_min,
         )
     else:
         value = flux

@@ -324,7 +324,8 @@ def specradflux_to_ciexyz_hero(
 
 
 def specradflux_to_ciexyz_hero_soa(
-    tables: ColorTables, flux, lambda_0, n_wavelengths: int, lambda_step: float
+    tables: ColorTables, flux, lambda_0, n_wavelengths: int, lambda_step: float,
+    lambda_min: float | None = None,
 ):
     """SoA (lane-last) hero-sample XYZ estimator: flux f32[S, N],
     lambda_0 f32[N] -> f32[3, N].
@@ -332,12 +333,61 @@ def specradflux_to_ciexyz_hero_soa(
     Same math as :func:`specradflux_to_ciexyz_hero` restructured for the TPU:
     the per-wavelength observer lookups become one hat-weight contraction
     shared by all three channels, followed by a tiny [3,K]x[K,N] matmul.
+
+    Shifted-window form (round 5): hero wavelengths are lam0 + s*STEP, and
+    STEP is an integer multiple R of the observer pitch for both shipped
+    observers (1931: 100/5 nm, 2006: 110/1 nm), so
+    hat(x0 + sR - k) == hat(x0 - (k - sR)): the S per-wavelength hat rows
+    are SHIFTED copies of one [W=R+2, N] window against S static row
+    slices of the observer table.  The general form materializes the full
+    [K, S, N] hat tensor -- measured 5.9 ms of the 55 ms meng-2006
+    fwd+bwd call (K=441 at 1-nm pitch; xplane profile, round 5) -- while
+    the window form is [112, N] once.  ``lambda_min`` enables it (static
+    window origin); callers that cannot supply it get the general form.
     """
     from simple_spectral_tpu.spectra.spectrum import hat_weights, hero_lams_soa
 
+    k_dim = tables.obs_values.shape[-1]
+    if lambda_min is not None and n_wavelengths >= 1:
+        r_ratio = lambda_step * tables.obs_inv_step
+        r_int = int(round(r_ratio))
+        j0 = (lambda_min - tables.obs_low) * tables.obs_inv_step
+        j0_int = int(round(j0))
+        if (
+            abs(r_ratio - r_int) < 1e-9
+            and abs(j0 - j0_int) < 1e-9
+            and j0_int >= 0
+            and r_int >= 1
+        ):
+            w_width = r_int + 2  # hat support for x0' in [0, R] incl. edge
+            x0 = (lambda_0 - tables.obs_low) * tables.obs_inv_step - j0_int
+            iota_j = jax.lax.broadcasted_iota(jnp.float32, (w_width, 1), 0)
+            w0 = jnp.maximum(0.0, 1.0 - jnp.abs(x0[None, :] - iota_j))  # [W, N]
+            # static observer row windows, zero-padded past the table edge
+            # (exactly the hat's zero-outside-range semantics)
+            obs = tables.obs_values  # [3, K]
+            need = j0_int + (n_wavelengths - 1) * r_int + w_width
+            if need > k_dim:
+                obs = jnp.concatenate(
+                    [obs, jnp.zeros((3, need - k_dim), obs.dtype)], axis=1
+                )
+            ow = jnp.stack(
+                [
+                    obs[:, j0_int + s * r_int: j0_int + s * r_int + w_width]
+                    for s in range(n_wavelengths)
+                ],
+                axis=1,
+            )  # [3, S, W]
+            t = jnp.einsum(
+                "csj,jn->csn", ow, w0, precision=jax.lax.Precision.HIGHEST
+            )  # [3, S, N]
+            return jnp.einsum(
+                "csn,sn->cn", t, flux, precision=jax.lax.Precision.HIGHEST
+            ) * lambda_step
+
     lams = hero_lams_soa(lambda_0, n_wavelengths, lambda_step)  # [S, N]
     x = (lams - tables.obs_low) * tables.obs_inv_step
-    w = hat_weights(x, tables.obs_values.shape[-1])  # [K, S, N]
+    w = hat_weights(x, k_dim)  # [K, S, N]
     acc = jnp.sum(w * flux[None, :, :], axis=1)  # [K, N]
     return jnp.einsum(
         "ck,kn->cn", tables.obs_values, acc, precision=jax.lax.Precision.HIGHEST

@@ -125,3 +125,34 @@ def test_hero_estimator_unbiased(observer):
 def test_meng_matrices_are_near_inverses():
     prod = cm.MENG_M_RGB_TO_XYZ @ cm.MENG_M_XYZ_TO_RGB
     assert np.abs(prod - np.eye(3)).max() < 5e-3  # they are published, imprecise values
+
+
+@pytest.mark.parametrize("observer", [1931, 2006])
+def test_hero_estimator_window_matches_general(observer):
+    """The shifted-window SoA estimator (lambda_min supplied; round 5) must
+    equal the general [K, S, N] hat-contraction form."""
+    cfg = RenderConfig(mode="mallett", observer=observer)
+    t = cm.build_color_tables(cfg)
+    rng = np.random.default_rng(11)
+    n = 4096
+    lam0 = jnp.asarray(
+        cfg.lambda_min + rng.random(n) * cfg.lambda_step, jnp.float32
+    )
+    flux = jnp.asarray(rng.random((cfg.n_wavelengths, n)), jnp.float32)
+    a = cm.specradflux_to_ciexyz_hero_soa(
+        t, flux, lam0, cfg.n_wavelengths, cfg.lambda_step
+    )
+    b = cm.specradflux_to_ciexyz_hero_soa(
+        t, flux, lam0, cfg.n_wavelengths, cfg.lambda_step,
+        lambda_min=cfg.lambda_min,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
+    # band edges: lambda_0 at the very start of the first band
+    lam_edge = jnp.full((8,), np.float32(cfg.lambda_min))
+    fe = jnp.ones((cfg.n_wavelengths, 8), jnp.float32)
+    ae = cm.specradflux_to_ciexyz_hero_soa(
+        t, fe, lam_edge, cfg.n_wavelengths, cfg.lambda_step)
+    be = cm.specradflux_to_ciexyz_hero_soa(
+        t, fe, lam_edge, cfg.n_wavelengths, cfg.lambda_step,
+        lambda_min=cfg.lambda_min)
+    np.testing.assert_allclose(np.asarray(ae), np.asarray(be), rtol=1e-5, atol=1e-4)
