@@ -66,7 +66,8 @@ def record(label, dt, n=N_IDX):
 
 def chained(label, fn, x0, rtt, n=N_IDX, k=8):
     def step(state, i):
-        tok = (jnp.ravel(jax.tree.leaves(state)[0])[0] & jnp.uint32(1))
+        leaf = jnp.ravel(jax.tree.leaves(state)[0])[0]
+        tok = (leaf * 0).astype(jnp.uint32)  # data-dependent zero
         return fn(x0 ^ tok)
 
     s0 = step((jnp.zeros((), jnp.uint32),), 0)
