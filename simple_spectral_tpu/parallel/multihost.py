@@ -123,8 +123,9 @@ def render_accumulate_multihost(
     multi = jax.process_count() > 1
     sharding = NamedSharding(mesh, P("dp"))
 
-    lanes_per_dev = max(1, cfg.max_lanes // max(spp // mesh.shape["sp"], 1))
-    px_per_chunk = min(n_px, lanes_per_dev * dp)
+    from simple_spectral_tpu.render.renderer import render_chunk_lanes
+
+    px_per_chunk = min(n_px, render_chunk_lanes(cfg, scene) * dp)
     px_per_chunk -= px_per_chunk % dp or 0
 
     value = np.zeros((n_px, 3), np.float64)

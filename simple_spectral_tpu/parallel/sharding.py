@@ -127,12 +127,15 @@ def render_accumulate_sharded(
 
     Returns (value f64[H, W, 3], alpha f64[H, W]), row 0 at bottom.
     """
+    from simple_spectral_tpu.render.renderer import render_chunk_lanes
+
     w, h, spp = cfg.width, cfg.height, cfg.spp
     dp = mesh.shape["dp"]
     n_px = w * h
     key = jax.random.PRNGKey(seed)
-    lanes_per_dev = max(1, cfg.max_lanes // max(spp // mesh.shape["sp"], 1))
-    px_per_chunk = min(n_px, lanes_per_dev * dp)
+    # memory is O(lanes) per device (the sample loop scans; see
+    # render.renderer.render_chunk_lanes)
+    px_per_chunk = min(n_px, render_chunk_lanes(cfg, scene) * dp)
     # round chunk to a multiple of dp
     px_per_chunk -= px_per_chunk % dp or 0
 

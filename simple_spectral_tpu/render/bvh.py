@@ -423,6 +423,24 @@ def recover_hit_record(
             best_dist,
         )
         best_dist = jnp.where(is_tri, tri_dist, best_dist)
+        if scene.n_spheres:
+            # exact sphere distance: re-solve the quadratic for the winning
+            # sphere and take the root nearest the quantized key distance
+            # (the two roots differ by 2*sqrt(disc) >> the 2^-17 relative
+            # quantization, except exactly-grazing hits where both roots
+            # agree anyway) -- advisor round-4 item 1
+            is_sph_r = hit & (kind == KIND_SPHERE)
+            ocx = o.x - rows[:, 2]
+            ocy = o.y - rows[:, 3]
+            ocz = o.z - rows[:, 4]
+            bq = ocx * d.x + ocy * d.y + ocz * d.z
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - rows[:, 5] * rows[:, 5]
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            near, far = -bq - sq, -bq + sq
+            pick_near = jnp.abs(near - best_dist) <= jnp.abs(far - best_dist)
+            sph_dist = jnp.where(pick_near, near, far)
+            best_dist = jnp.where(is_sph_r & (disc > 0.0), sph_dist, best_dist)
 
     if scene.n_spheres:
         is_sph = hit & (kind == KIND_SPHERE)

@@ -39,8 +39,19 @@ depend on coherence.
 Closest-hit ties: the in-tile best key carries the row index in the 6 low
 mantissa bits (L <= 63), so ties within 2^-17 relative distance resolve to
 the lower row -- the same tie class as the Pallas best-key kernel
-(render/intersect_pallas.py); exact distances are recovered per winner
-(render/bvh.py recover_hit_record).
+(render/intersect_pallas.py).  When attributes are requested, exact
+distances are recovered per winner (triangles via the barycentric
+recompute, spheres by re-solving the quadratic -- render/bvh.py
+recover_hit_record); ``need_attrs=False`` keeps the quantized key
+distance (its consumers compare prim ids only).
+
+Early exit (round 5): the per-block cluster list is sorted by block-min
+entry distance, so the walk runs as a ``while_loop`` that stops once the
+next cluster's entry key exceeds every lane's current best -- a candidate
+there would have bits(dist) >= bits(entry) > best_key, which can never win
+under the quantized-key comparison, so the cut is EXACTLY result-
+preserving (tie class included).  Lanes that miss everything keep an inf
+best and correctly force the full walk for their block.
 """
 
 from __future__ import annotations
@@ -302,9 +313,33 @@ def _kernel(meta_hbm, rays_ref, tiles_hbm, out_ref,
         best_key = jnp.where(better, tile_key & ~jnp.int32(63), best_key)
         return best_key, best_slot
 
-    best_key, best_slot = jax.lax.fori_loop(
-        0, count, body, (init_key, init_slot)
+    # Early-exit walk (module docstring): clusters are front-to-back by
+    # block-min entry key (meta row 1, int-comparable positive-float bits);
+    # stop once the next cluster's entry exceeds every lane's best -- its
+    # candidates' keys could never win the quantized comparison.
+    c_cap = list_smem.shape[1] - 1
+
+    def cond(carry):
+        j, best_key, _ = carry
+        nxt = list_smem[1, 1 + jnp.minimum(j, c_cap - 1)]
+        return jax.lax.bitwise_and(j < count, nxt <= jnp.max(best_key))
+
+    def wbody(carry):
+        j, bk, bs = carry
+        bk, bs = body(j, (bk, bs))
+        return j + 1, bk, bs
+
+    j_end, best_key, best_slot = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), init_key, init_slot)
     )
+
+    # Drain the in-flight prefetch an early exit leaves behind (body(j)
+    # starts cluster j+1's DMA before waiting j's): without this the slot
+    # semaphore carries a stale count into the next grid step.
+    @pl.when(jax.lax.bitwise_and(count > 0, j_end < count))
+    def _():
+        get_dma(jax.lax.rem(j_end, 2), j_end).wait()
+
     out_ref[0:1, :] = best_key
     out_ref[1:2, :] = best_slot
 
@@ -312,25 +347,30 @@ def _kernel(meta_hbm, rays_ref, tiles_hbm, out_ref,
 @functools.partial(
     jax.jit, static_argnames=("l_prims", "eps", "interpret")
 )
-def _cull_best(tiles, counts, lists, rays, l_prims: int, eps: float,
+def _cull_best(tiles, counts, lists, entries, rays, l_prims: int, eps: float,
                interpret: bool = False):
-    """rays f32[8, Np]; counts i32[NB]; lists i32[NB, C] -> i32[2, Np]
-    (row 0: quantized-dist key; row 1: winning flat slot)."""
+    """rays f32[8, Np]; counts i32[NB]; lists i32[NB, C]; entries f32[NB, C]
+    (block-min entry distance per listed cluster, ascending -- drives the
+    kernel's early exit) -> i32[2, Np] (row 0: quantized-dist key; row 1:
+    winning flat slot)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb = counts.shape[0]
     c_total = lists.shape[1]
     n_pad = rays.shape[1]
-    # per-block metadata row (count | cluster ids...), padded to 8 rows so
-    # the kernel's meta.at[b] DMA slice is sublane-aligned (Mosaic requires
-    # leading-dim slices of tiled buffers in multiples of 8)
+    # per-block metadata row (count | cluster ids...; row 1 the matching
+    # entry keys as positive-float bits, int-comparable), padded to 8 rows
+    # so the kernel's meta.at[b] DMA slice is sublane-aligned (Mosaic
+    # requires leading-dim slices of tiled buffers in multiples of 8)
     mw = -(-(1 + c_total) // 128) * 128  # last-dim DMA slices must be
     # 128-lane aligned (Mosaic tiling), so pad the metadata width
     meta = (
         jnp.zeros((nb, 8, mw), jnp.int32)
         .at[:, 0, 0].set(counts[:, 0])
         .at[:, 0, 1:1 + c_total].set(lists)
+        .at[:, 1, 1:1 + c_total].set(
+            jax.lax.bitcast_convert_type(entries, jnp.int32))
     )
     kernel = functools.partial(_kernel, l_prims=l_prims, eps=eps)
     out = pl.pallas_call(
@@ -477,6 +517,9 @@ def intersect_rays_cull(
     counts = hit_b.sum(axis=0).astype(jnp.int32)[:, None]  # [NB, 1]
     order = jnp.argsort(key_b, axis=0).astype(jnp.int32)  # [C, NB] near-first
     lists = order.T  # [NB, C]
+    # sorted entry keys per listed cluster: the kernel's early-exit bound
+    # (inf where unlisted; inf bitcasts to INF_BITS, still int-comparable)
+    entries = jnp.take_along_axis(key_b, order, axis=0).T  # [NB, C]
 
     rays = jnp.stack([
         ox, oy, oz, dx, dy, dz,
@@ -484,7 +527,7 @@ def intersect_rays_cull(
         jnp.zeros_like(ox),
     ])  # f32[8, Np]
 
-    out = _cull_best(tiles, counts, lists, rays, l_prims, eps,
+    out = _cull_best(tiles, counts, lists, entries, rays, l_prims, eps,
                      interpret=interpret)
     best_key = out[0, :n]
     best_slot = out[1, :n]

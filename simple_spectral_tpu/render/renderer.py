@@ -61,6 +61,20 @@ def _render_chunk_checked(scene, tables, cfg: RenderConfig, key, px_flat, spp: i
     return checked(scene, tables, cfg, key, px_flat)
 
 
+def render_chunk_lanes(cfg: RenderConfig, scene) -> int:
+    """Pixel-lane budget for one render chunk.  _render_chunk scans over
+    spp, so peak memory is O(lanes) regardless of sample count -- the full
+    cfg.max_lanes can ride in one call (round 5; the previous
+    max_lanes // spp sizing cut BASELINE config 5's 256-spp chunks to 8192
+    lanes, ~1/32 of the efficient call size).  BVH-scale scenes cap at 2^18
+    lanes: the cull arm's dense [C, N] slab stage scales with cluster count
+    and would OOM at the full budget."""
+    lanes = cfg.max_lanes
+    if getattr(scene, "cull_tiles", None) is not None:
+        lanes = min(lanes, 1 << 18)
+    return max(1, lanes)
+
+
 def _render_chunk(scene, tables, cfg: RenderConfig, key, px_flat, spp: int):
     """Trace ``spp`` samples for each pixel in ``px_flat`` (i32[P]) and
     return (sum f32[P,S], alpha_sum f32[P]) over samples."""
@@ -87,7 +101,7 @@ def render_accumulate(
     """
     w, h, spp = cfg.width, cfg.height, cfg.spp
     n_px = w * h
-    px_per_chunk = max(1, min(n_px, cfg.max_lanes // max(spp, 1), n_px))
+    px_per_chunk = max(1, min(n_px, render_chunk_lanes(cfg, scene)))
     key = jax.random.PRNGKey(seed)
 
     value = np.zeros((n_px, 3), np.float64)

@@ -70,6 +70,48 @@ def make_rays(scene, cfg, coherent: bool):
     )
 
 
+def parity_check(scene, eps, o, d, n_check=8192, seed=99):
+    """Compiled-Mosaic correctness on the real device (round-5 VERDICT item
+    2): the cull arm vs the reference-proven dense sweep, same comparator as
+    tests/test_cull.py (hit mask equal; distances allclose; winner prim
+    equal up to the packed-key tie class; ST/normal equal on same-winner
+    lanes).  Raises on divergence -- the bench must not publish numbers for
+    a kernel that is wrong on hardware."""
+    from simple_spectral_tpu.render.cull import intersect_rays_cull
+    from simple_spectral_tpu.render.intersect import intersect_rays_soa
+    from simple_spectral_tpu.render.vec import V3
+
+    rng = np.random.default_rng(seed)
+    sl = slice(0, n_check)
+    o_s = V3(o.x[sl], o.y[sl], o.z[sl])
+    d_s = V3(d.x[sl], d.y[sl], d.z[sl])
+    ignore = jnp.asarray(
+        rng.integers(-1, scene.n_prims, size=n_check), jnp.int32)
+    r_cull = jax.jit(
+        lambda: intersect_rays_cull(scene, o_s, d_s, ignore, eps))()
+    r_soa = jax.jit(
+        lambda: intersect_rays_soa(scene, o_s, d_s, ignore, eps))()
+    hit_c = np.asarray(r_cull.hit)
+    hit_s = np.asarray(r_soa.hit)
+    np.testing.assert_array_equal(hit_c, hit_s)
+    m = hit_c
+    np.testing.assert_allclose(
+        np.asarray(r_cull.dist)[m], np.asarray(r_soa.dist)[m],
+        rtol=1e-5, atol=1e-3)
+    same = np.asarray(r_cull.prim)[m] == np.asarray(r_soa.prim)[m]
+    assert same.mean() > 0.995, f"prim mismatch {(~same).sum()}/{m.sum()}"
+    np.testing.assert_array_equal(
+        np.asarray(r_cull.mat)[m][same], np.asarray(r_soa.mat)[m][same])
+    for a, b in ((r_cull.normal.x, r_soa.normal.x),
+                 (r_cull.st_s, r_soa.st_s), (r_cull.st_t, r_soa.st_t)):
+        np.testing.assert_allclose(
+            np.asarray(a)[m][same], np.asarray(b)[m][same],
+            rtol=1e-4, atol=1e-4)
+    assert not np.any(np.asarray(r_cull.prim)[m] == np.asarray(ignore)[m])
+    return {"rays": n_check, "hits": int(m.sum()),
+            "prim_tie_diffs": int((~same).sum()), "parity": "ok"}
+
+
 def bench_impl(scene, eps, impl, o, d, rtt, k=12):
     from simple_spectral_tpu.render.cull import intersect_rays_cull
     from simple_spectral_tpu.render.intersect import intersect_rays_soa
@@ -101,6 +143,9 @@ def main():
         for coh in (True, False):
             o, d = make_rays(scene, cfg, coh)
             tag = "coherent" if coh else "random"
+            par = parity_check(scene, cfg.eps, o, d)
+            row[f"parity_{tag}"] = par
+            print(f"  parity[{tag}]: {par}", flush=True)
             dt_c = bench_impl(scene, cfg.eps, "cull", o, d, rtt)
             row[f"cull_{tag}_ms"] = round(dt_c * 1e3, 3)
             row[f"cull_{tag}_mrays_s"] = round(N_RAYS / dt_c / 1e6, 1)
