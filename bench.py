@@ -146,10 +146,20 @@ def main():
                 c = RenderConfig(**kw)
                 t = build_color_tables(c)
                 s = build_scene(c, t)
-                m = bench_config(c, t, s, jax.random.fold_in(key, 100 + ci),
-                                 cfg_chunk, k_calls, rtt)
+                # median of 3 short rounds: one transient tunnel stall
+                # inside a single chained window can otherwise poison a
+                # config's only number (observed: cfg4 at 18 Mrays/s in one
+                # round, 118 in the rounds before and after)
+                ms = [
+                    bench_config(c, t, s,
+                                 jax.random.fold_in(key, 100 + 10 * ci + r2),
+                                 cfg_chunk, max(k_calls // 2, 8), rtt)
+                    for r2 in range(3)
+                ]
+                m = statistics.median(ms)
                 per_config[name] = round(m, 2)
-                print(f"{name}: {m:.2f} Mrays/s", file=sys.stderr)
+                print(f"{name}: {m:.2f} Mrays/s "
+                      f"(rounds {[round(x, 1) for x in ms]})", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 per_config[name] = f"error: {repr(e)[:160]}"
                 print(f"{name}: FAILED {repr(e)[:160]}", file=sys.stderr)

@@ -93,6 +93,9 @@ class RenderConfig:
     cull_cluster_size: int = 63
     stress_boxes: int = 1000
     stress_spheres: int = 500
+    # emissive spheres added to the stress scene (NEE samples them with the
+    # cone-cap sampler; reference src/util/random.cpp:51-99 recipe)
+    stress_sphere_lights: int = 0
     stress_materials: int = 16
     stress_seed: int = 1234
 

@@ -102,9 +102,15 @@ def _sample_light_dir(key, scene: SceneData, from_pos: V3):
     src/scene.cpp:417-431 + src/geometry.cpp:103-116,141-145).
 
     Returns (dir V3[N], inv_pdf f32[N], light_prim i32[N]).  The inverse
-    pdf (= solid_angle * 2 * n_lights) is returned instead of the pdf so the
-    degenerate-triangle case (solid angle 0) contributes exactly 0 without
-    NaN (the reference reaches the same value via pdf = inf)."""
+    pdf (= solid_angle * 2 * n_lights for quads; cap_area * n_lights for
+    sphere lights) is returned instead of the pdf so the degenerate-
+    triangle case (solid angle 0) contributes exactly 0 without NaN (the
+    reference reaches the same value via pdf = inf).
+
+    Sphere lights (scene.n_sphere_lights > 0, a static flag so quad-only
+    scenes compile the exact round-4 program): sampled with the cone-cap
+    recipe (reference src/util/random.cpp:51-99; render/sampling.py
+    rand_toward_sphere), selected branchlessly against the quad path."""
     n = from_pos.x.shape[0]
     k_choice, k_tri, k_arvo = jax.random.split(key, 3)
     n_lights = scene.n_lights
@@ -133,6 +139,22 @@ def _sample_light_dir(key, scene: SceneData, from_pos: V3):
     tri = spherical_triangle(a, b, c)
     d = rand_toward_spherical_triangle(k_arvo, tri)
     inv_pdf = tri.area * (2.0 * n_lights)
+    if scene.n_sphere_lights:
+        from simple_spectral_tpu.render.sampling import rand_toward_sphere
+
+        # per-lane sphere params: one-hot contraction over the L lights
+        # (kind rows are 0 for quads; exactly one nonzero term -> exact)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (n_lights, 1), 0)
+              == light_idx[None, :]).astype(jnp.float32)  # [L, N]
+        sph = jnp.einsum("lc,ln->cn", scene.light_sph, oh,
+                         precision=jax.lax.Precision.HIGHEST)  # [4, N]
+        is_sph = select_column(
+            scene.light_kind.astype(jnp.float32), light_idx, n_lights) > 0.5
+        to_c = V3(sph[0] - from_pos.x, sph[1] - from_pos.y,
+                  sph[2] - from_pos.z)
+        d_sph, cap_area = rand_toward_sphere(k_tri, to_c, sph[3])
+        d = v3where(is_sph, d_sph, d)
+        inv_pdf = jnp.where(is_sph, cap_area * n_lights, inv_pdf)
     return d, inv_pdf, light_prim
 
 

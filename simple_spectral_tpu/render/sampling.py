@@ -81,6 +81,45 @@ def rand_coshemi(key, shape, eps: float) -> Tuple[V3, jnp.ndarray]:
     return d, y * (1.0 / PI)
 
 
+# --- cone cap toward a sphere (reference src/util/random.cpp:51-99) ---
+
+
+def rand_toward_sphere(key, to_center: V3, radius) -> Tuple[V3, jnp.ndarray]:
+    """Uniform direction over the spherical cap subtended by a sphere, plus
+    the cap AREA (= reciprocal pdf; reference returns pdf = 1/area).
+
+    Reference recipe (src/util/random.cpp:51-99): sample a 0.99999-shrunken
+    sphere so the direction surely hits the real one; cos(theta) =
+    sqrt(1 - (r/l)^2); cap area 2 pi (1 - cos theta); y uniform on
+    [cos theta, 1], phi uniform, rotated so +y is the center direction.
+    From INSIDE the sphere every direction hits: uniform full sphere
+    (area 4 pi), matching the reference's rand_sphere fallback.
+
+    Deviations for branchless f32 lanes: the reference computes the cap in
+    double because 1 - sqrt(1 - x^2) cancels catastrophically for distant
+    small spheres; we use the algebraically equal stable form
+    1 - cos theta = x^2 / (1 + cos theta) and stay in f32.
+    """
+    ka, kb = jax.random.split(key)
+    l2 = dot(to_center, to_center)
+    l = jnp.sqrt(jnp.maximum(l2, 1e-24))
+    inside = l < radius
+    x = jnp.clip((radius * 0.99999) / l, 0.0, 1.0)
+    cos_theta = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    # stable 1 - cos(theta); inside: full sphere (cos theta := -1)
+    one_minus = jnp.where(
+        inside, 2.0, x * x / (1.0 + cos_theta)
+    )
+    area = TWO_PI * one_minus
+    y = 1.0 - uniform(ka, l.shape) * one_minus  # in [cos theta, 1]
+    phi = uniform(kb, l.shape) * TWO_PI
+    rad = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    local = V3(rad * jnp.cos(phi), y, rad * jnp.sin(phi))
+    inv_l = 1.0 / l
+    axis = V3(to_center.x * inv_l, to_center.y * inv_l, to_center.z * inv_l)
+    return rotated_to(local, axis), area
+
+
 # --- spherical triangle (reference src/util/spherical-tri.{hpp,cpp}) ---
 
 

@@ -254,11 +254,20 @@ class _Builder:
         n_spheres = len(self.spheres)
         sphere_kw = {}
         sp_center = sp_radius = sp_prim = sp_mat = None
+        # sphere lights: emissive spheres join the NEE light list with the
+        # cone-cap sampler (reference src/util/random.cpp:51-99 recipe;
+        # render/sampling.py rand_toward_sphere).  kind/params arrays are
+        # assembled below alongside the quad lights.
+        light_kind = [0] * len(light_prims)
+        light_sph = [(0.0, 0.0, 0.0, 0.0)] * len(light_prims)
         if n_spheres:
-            for mat_id, _, _ in self.spheres:
-                assert not emissive[mat_id], (
-                    "sphere lights unsupported: NEE samples quad lights only"
-                )
+            for si, (mat_id, c, r) in enumerate(self.spheres):
+                if emissive[mat_id]:
+                    light_prims.append(len(self.quads) + si)
+                    light_tris.append((0, 0))  # placeholder, masked by kind
+                    light_kind.append(1)
+                    light_sph.append((float(c[0]), float(c[1]), float(c[2]),
+                                      float(r)))
             sp_center = np.asarray([c for _, c, _ in self.spheres], np.float64)
             sp_radius = np.asarray([r for _, _, r in self.spheres], np.float64)
             sp_mat = np.asarray([m for m, _, _ in self.spheres], np.int32)
@@ -339,6 +348,8 @@ class _Builder:
             tri_mat=jnp.asarray(tri_mat, jnp.int32),
             light_tris=jnp.asarray(light_tris, jnp.int32),
             light_prims=jnp.asarray(light_prims, jnp.int32),
+            light_kind=jnp.asarray(light_kind, jnp.int32),
+            light_sph=jnp.asarray(light_sph, jnp.float32),
             materials=materials,
             camera=camera,
             texture=tex_rows,
@@ -348,6 +359,7 @@ class _Builder:
             n_tris=len(tri_mat),
             n_prims=len(self.quads) + n_spheres,
             n_lights=len(light_prims),
+            n_sphere_lights=sum(light_kind),
             n_spheres=n_spheres,
             n_bvh_entries=n_bvh_entries,
             name=name,
@@ -678,6 +690,26 @@ def _cornell_stress(cfg: RenderConfig, tables: ColorTables) -> SceneData:
         r = rng.uniform(4.0, 16.0)
         c = (rng.uniform(30.0, 520.0), rng.uniform(r, 420.0), rng.uniform(30.0, 530.0))
         b.add_sphere(rand_mat(), c, r)
+
+    # emissive spheres (cfg.stress_sphere_lights): NEE samples them via the
+    # cone-cap sampler (reference src/util/random.cpp:51-99 recipe)
+    if cfg.stress_sphere_lights:
+        if spectral:
+            slight = b.add_material(
+                "sphere-light",
+                _HostMaterial(albedo_spec=b.const_spectrum(0.0),
+                              emission_spec=tables.host["d65_rad"] * 8.0),
+            )
+        else:
+            slight = b.add_material(
+                "sphere-light",
+                _HostMaterial(albedo_rgb=(0, 0, 0), emission_rgb=(4, 4, 4)),
+            )
+        for _ in range(cfg.stress_sphere_lights):
+            r = rng.uniform(10.0, 25.0)
+            c = (rng.uniform(60.0, 500.0), rng.uniform(300.0, 480.0),
+                 rng.uniform(60.0, 500.0))
+            b.add_sphere(slight, c, r)
 
     return b.finish("cornell-stress")
 

@@ -123,8 +123,8 @@ _pytree_dataclass(MaterialTable)
 
 @dataclasses.dataclass
 class SceneData:
-    _static = ("n_tris", "n_prims", "n_lights", "n_spheres", "n_bvh_entries",
-               "name", "tex_res")
+    _static = ("n_tris", "n_prims", "n_lights", "n_sphere_lights",
+               "n_spheres", "n_bvh_entries", "name", "tex_res")
 
     # Geometry (SoA over triangles; quads = 2 triangles re-tagged to one prim,
     # reference src/geometry.cpp:128-139).
@@ -135,7 +135,12 @@ class SceneData:
     tri_mat: Any  # i32[T]
 
     # Lights: per light primitive, its two triangle indices + its prim id
-    # (uniform-over-lights NEE; reference src/scene.cpp:417-431).
+    # (uniform-over-lights NEE; reference src/scene.cpp:417-431).  Sphere
+    # lights (north-star extension, round 5) ride the same list: kind=1
+    # rows carry (center, radius) in light_sph and placeholder (0, 0)
+    # triangle indices; NEE samples them with the reference's cone-cap
+    # recipe (src/util/random.cpp:51-99 -> render/sampling.py
+    # rand_toward_sphere).
     light_tris: Any  # i32[L, 2]
     light_prims: Any  # i32[L]
 
@@ -167,11 +172,14 @@ class SceneData:
     # q32 dequantization constants (jakob u32 texels): f32[9], else None.
     texel_meta: Any = None
 
+    # Sphere-light rows of the light list (see the light block above).
+    light_kind: Any = None  # i32[L]: 0 quad, 1 sphere (None = all quads)
+    light_sph: Any = None  # f32[L, 4]: (cx, cy, cz, r); zeros for quads
+
     # Sphere primitives (north-star extension; the reference has spheres only
     # as dead bounding-sphere code, reference src/scene.cpp:420-425 inside an
     # `#if 0`-equivalent unused path).  None / 0 when the scene has none.
-    # Spheres are never lights (NEE samples quad lights only; asserted at
-    # scene build).
+    # Emissive spheres join the light list (light_kind/light_sph above).
     sphere_center: Any = None  # f32[Sp, 3]
     sphere_radius: Any = None  # f32[Sp]
     sphere_prim: Any = None  # i32[Sp] owning primitive id (self-hit exclusion)
@@ -194,6 +202,7 @@ class SceneData:
     n_tris: int = 0
     n_prims: int = 0
     n_lights: int = 0
+    n_sphere_lights: int = 0  # static: picks the NEE program variant
     n_spheres: int = 0
     n_bvh_entries: int = 0
     name: str = ""

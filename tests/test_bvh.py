@@ -202,17 +202,19 @@ def test_bvh_build_structure():
     assert (tv >= root_mn - 1e-3).all() and (tv <= root_mx + 1e-3).all()
 
 
-def test_sphere_light_rejected():
-    """Sphere lights are unsupported (NEE samples quad lights only)."""
+def test_sphere_light_joins_light_list():
+    """Emissive spheres join the NEE light list (round 5; cone-cap sampling
+    -- full coverage in tests/test_sphere_lights.py)."""
     from simple_spectral_tpu.scene.library import _cornell_builder
-    from simple_spectral_tpu.scene.library import _HostMaterial
 
     cfg = RenderConfig(scene="cornell", mode="rgb")
     tables = build_color_tables(cfg)
     b = _cornell_builder(cfg, tables)
     b.add_sphere(b.mat_names["light"], (275.0, 275.0, 275.0), 30.0)
-    with pytest.raises(AssertionError, match="sphere lights"):
-        b.finish("bad")
+    s = b.finish("with-sphere-light")
+    assert s.n_sphere_lights == 1
+    kinds = np.asarray(s.light_kind)
+    assert kinds[-1] == 1 and np.asarray(s.light_sph)[-1, 3] == 30.0
 
 
 def test_gradients_flow_through_bvh_scene():

@@ -78,6 +78,13 @@ def run_tpu():
 
 
 def run_cpu():
+    # XLA_FLAGS is read at first backend init (not jax import), so setting
+    # it here still works; jax_platforms must go through jax.config (the
+    # sitecustomize imported jax already -- see tests/conftest.py).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
