@@ -72,6 +72,11 @@ def render_chunk_lanes(cfg: RenderConfig, scene) -> int:
     lanes = cfg.max_lanes
     if getattr(scene, "cull_tiles", None) is not None:
         lanes = min(lanes, 1 << 18)
+    if cfg.spectral and cfg.mode == "meng" and scene.texture is not None:
+        # the on-device grid walk's per-bounce [P~186, N] omega / one-hot
+        # tensors put meng HBM-bound past ~2^18 lanes (measured: 1024^2
+        # single-chunk ran 4x slower than 2^18 chunks -- tools/cfg5_r05.json)
+        lanes = min(lanes, 1 << 18)
     return max(1, lanes)
 
 
