@@ -42,6 +42,7 @@ import json
 import os
 import statistics
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -150,12 +151,14 @@ def main():
                 # inside a single chained window can otherwise poison a
                 # config's only number (observed: cfg4 at 18 Mrays/s in one
                 # round, 118 in the rounds before and after)
-                ms = [
-                    bench_config(c, t, s,
-                                 jax.random.fold_in(key, 100 + 10 * ci + r2),
-                                 cfg_chunk, max(k_calls // 2, 8), rtt)
-                    for r2 in range(3)
-                ]
+                ms = []
+                for r2 in range(3):
+                    ms.append(bench_config(
+                        c, t, s, jax.random.fold_in(key, 100 + 10 * ci + r2),
+                        cfg_chunk, max(k_calls // 2, 8), rtt))
+                    time.sleep(3.0)  # let a backed-up tunnel drain between
+                    # rounds (observed: consecutive rounds degrading
+                    # 145 -> 125 -> 52 Mrays/s, recovering after a pause)
                 m = statistics.median(ms)
                 per_config[name] = round(m, 2)
                 print(f"{name}: {m:.2f} Mrays/s "
