@@ -193,3 +193,29 @@ def test_unrolled_geometry_equals_scan():
     np.testing.assert_array_equal(
         np.asarray(r_unroll.alpha), np.asarray(r_scan.alpha)
     )
+
+
+def test_render_chunk_lanes_policy():
+    """Chunk sizing is O(lanes)-aware (round 5): full max_lanes for the
+    small built-in scenes, capped at 2^18 for BVH-scale scenes (the cull
+    slab scales with cluster count) and for textured meng (its on-device
+    grid walk is HBM-bound past 2^18 lanes; tools/cfg5_r05.json)."""
+    from simple_spectral_tpu.render.renderer import render_chunk_lanes
+    from simple_spectral_tpu.scene.library import build_scene
+
+    cfg = RenderConfig(scene="cornell", mode="rgb", width=16, height=16)
+    tables = build_color_tables(cfg)
+    scene = build_scene(cfg, tables)
+    assert render_chunk_lanes(cfg, scene) == cfg.max_lanes
+
+    cfg_m = RenderConfig(scene="cornell-srgb", mode="meng", width=16, height=16)
+    t_m = build_color_tables(cfg_m)
+    s_m = build_scene(cfg_m, t_m)
+    assert render_chunk_lanes(cfg_m, s_m) == min(cfg_m.max_lanes, 1 << 18)
+
+    cfg_s = RenderConfig(scene="cornell-stress", mode="rgb", width=16,
+                         height=16, stress_boxes=60, stress_spheres=20)
+    t_s = build_color_tables(cfg_s)
+    s_s = build_scene(cfg_s, t_s)
+    assert s_s.cull_tiles is not None
+    assert render_chunk_lanes(cfg_s, s_s) == min(cfg_s.max_lanes, 1 << 18)

@@ -1,5 +1,14 @@
-import sys, json
-sys.path.insert(0, "/root/repo")
+"""Cull cluster-size ablation at 50k tris (round 5): is L=63 the right
+cluster capacity?  Measured: 63 beats 31 and 15 end-to-end
+(tools/cull_cluster_exp_r05.json) -- the kernel is DMA-iteration/list-
+length bound, not test-granularity bound.
+
+Usage: python tools/bench_cull_cluster.py [out.json]
+"""
+import json
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from tools.tpu_bench import measure_rtt, timeit_chained
 from simple_spectral_tpu.config import RenderConfig
@@ -27,4 +36,4 @@ for csize in (63, 31, 15):
     row = {"cluster_size": csize, "clusters": int(scene.cull_tiles.shape[0]),
            "ms": round(dt*1e3, 1)}
     out.append(row); print(row, flush=True)
-json.dump(out, open("/tmp/cull_cluster_exp.json", "w"), indent=1)
+json.dump(out, open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/cull_cluster_exp.json", "w"), indent=1)
