@@ -21,6 +21,14 @@ count once on a 1-device mesh and once sharded over all N virtual devices
 ratio isolates the overhead the sharded program itself adds (psum,
 partitioning, per-shard RNG) from raw compute throughput.
 
+NOTE (this image): the sitecustomize forces the axon TPU backend and the
+JAX_PLATFORMS env var alone does NOT override it -- force the CPU mesh via
+jax.config before running, e.g.:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "
+  import jax; jax.config.update('jax_platforms','cpu'); import runpy, sys
+  sys.argv=['x','out.json','--equal-work','--lanes-per-dev','8192']
+  runpy.run_path('tools/scaling_bench.py', run_name='__main__')"
+
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python tools/scaling_bench.py [out.json] [--lanes-per-dev 4096] [--spp 4]
