@@ -106,3 +106,23 @@ def test_sphere_light_nee_matches_brute_force():
     m_bf = v_bf.mean(axis=(0, 1))
     rel = np.abs(m_els - m_bf) / np.maximum(np.abs(m_bf), 1e-9)
     assert rel.max() < 0.12, (m_els, m_bf)
+
+
+def test_sphere_lights_under_cull_arm():
+    """Sphere lights and the block-cull intersection arm compose: the same
+    stress scene renders identically under the dense sweep and the cull
+    kernel (interpreter mode on CPU; hardware parity for the kernel itself
+    is asserted by tools/bench_cull_micro.py)."""
+    from simple_spectral_tpu.render.renderer import render_accumulate
+
+    cfg = _scene_cfg(spp=2, width=8, height=8, max_depth=3,
+                     stress_boxes=30, stress_spheres=10, bvh_threshold=64)
+    tables = build_color_tables(cfg)
+    scene = build_scene(cfg, tables)
+    assert scene.n_sphere_lights == 2 and scene.cull_tiles is not None
+    v1, a1 = render_accumulate(cfg.replace(intersect_impl="xla"), scene,
+                               tables, seed=3)
+    v2, a2 = render_accumulate(cfg.replace(intersect_impl="cull"), scene,
+                               tables, seed=3)
+    np.testing.assert_allclose(v1, v2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(a1, a2)
