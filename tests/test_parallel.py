@@ -86,9 +86,16 @@ def test_single_device_mesh_matches_multi(setup):
     # reassociation, ~1-2% of pixels flipped at a boundary, means to 0.06%
     rel = np.abs(v8 - manual) / (np.abs(manual) + 1e-3)
     close = (rel < 1e-3).all(axis=-1)
-    assert close.mean() > 0.9, f"only {close.mean():.3f} of pixels close"
+    flipped = int((~close).sum())
+    # round-5 tightening (r04 verdict weak item 7): bound the FLIP COUNT to
+    # the measured profile (~1-2% of pixels), not just a 90% fraction, and
+    # require any flipped pixel to stay within boundary-decision range (one
+    # path's contribution), so a real regression cannot hide under the
+    # cross-compilation drift allowance.
+    assert flipped <= 4, f"{flipped}/64 pixels differ (measured profile: <=2)"
+    assert (rel < 0.5).all(), f"worst rel dev {rel.max():.3f}"
     np.testing.assert_allclose(v8.mean(axis=(0, 1)), manual.mean(axis=(0, 1)),
-                               rtol=5e-3)
+                               rtol=2e-3)
 
 
 def test_sharded_grad_runs_and_reduces(setup):
